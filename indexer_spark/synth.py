@@ -1,0 +1,178 @@
+"""Deterministic synthetic transcripts corpus + reference query set.
+
+Shape follows BASELINE.json's input_hint / FIXTURES.md §1: an (Iceberg-
+style) table of multi-turn conversation/agent transcripts with columns
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp). Vocabulary is Zipf(s≈1.1) so hot-term skew is real at test
+scale, salted with digit runs, punctuation, stop words, mixed alnum,
+empty strings and a Unicode-adversarial subset (FIXTURES.md) to pin
+tokenizer parity with the reference lexer.
+
+Everything is seeded (seed=42 default) and generated with
+numpy.random.default_rng — no external data.
+"""
+
+from __future__ import annotations
+
+import string
+
+import numpy as np
+import pandas as pd
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["bash", "search", "browser", "python", "editor"])
+
+# Tokenizer-adversarial strings (quirks Q4/Q5; SURVEY.md §7 hard part 1).
+ADVERSARIAL = (
+    "don't", "3.14", "x.y", "a,b=c", "abc123", "123abc", "(nested)",
+    "the and of was", "running flies easily", "don't-stop!",
+    "café", "naïve", "résumé", "über-fast", "①", "٣٤٥", "Ⅻ", "x²",
+    "a_b", "semi;colon", "e.g.", "100%", "$5", "it's",
+)
+
+
+def make_vocab(size: int = 2000, seed: int = 42) -> list[str]:
+    """Deterministic synthetic word list (lowercase ASCII, len 3-10)."""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list(string.ascii_lowercase))
+    vocab: list[str] = []
+    seen: set[str] = set()
+    while len(vocab) < size:
+        n = int(rng.integers(3, 11))
+        w = "".join(rng.choice(letters, size=n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return vocab
+
+
+def _zipf_probs(n: int, s: float = 1.1) -> np.ndarray:
+    p = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** s
+    return p / p.sum()
+
+
+def gen_transcripts(
+    n_turns: int,
+    seed: int = 42,
+    vocab_size: int = 2000,
+    mean_turn_len: int = 40,
+    mean_conv_len: int = 8,
+) -> pd.DataFrame:
+    """Generate exactly ``n_turns`` transcript rows, deterministically."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(make_vocab(vocab_size, seed))
+    probs = _zipf_probs(vocab_size)
+
+    # conversation lengths: geometric, min 1
+    conv_lens: list[int] = []
+    total = 0
+    while total < n_turns:
+        ln = int(rng.geometric(1.0 / mean_conv_len))
+        ln = min(ln, n_turns - total)
+        conv_lens.append(ln)
+        total += ln
+
+    conv_ids, turn_idxs = [], []
+    for c, ln in enumerate(conv_lens):
+        cid = f"conv_{c:08d}"
+        conv_ids.extend([cid] * ln)
+        turn_idxs.extend(range(ln))
+
+    n = n_turns
+    roles = ROLES[rng.integers(0, 4, size=n)]
+    # turn 0 of each conversation is always 'user'
+    roles = np.where(np.array(turn_idxs) == 0, "user", roles)
+
+    # text lengths 5..200 tokens, mean ~mean_turn_len
+    lens = np.clip(rng.poisson(mean_turn_len, size=n), 5, 200)
+    empty = rng.random(n) < 0.005  # ~0.5% empty turns
+    adv_mask = rng.random(n) < 0.05  # ~5% of turns get an adversarial salt
+
+    word_draw = rng.choice(vocab, size=int(lens.sum()), p=probs)
+    texts: list[str] = []
+    pos = 0
+    adv_pick = rng.integers(0, len(ADVERSARIAL), size=n)
+    for i in range(n):
+        ln = int(lens[i])
+        if empty[i]:
+            texts.append("")
+            pos += ln
+            continue
+        words = word_draw[pos : pos + ln]
+        pos += ln
+        t = " ".join(words)
+        if adv_mask[i]:
+            t = t + " " + ADVERSARIAL[adv_pick[i]]
+        texts.append(t)
+
+    tools = np.where(
+        roles == "tool", TOOLS[rng.integers(0, len(TOOLS), size=n)], None
+    )
+    base = np.datetime64("2026-01-01T00:00:00")
+    ts = base + np.cumsum(rng.integers(1, 30, size=n)).astype("timedelta64[s]")
+
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array(conv_ids, dtype="string"),
+            "turn_idx": np.array(turn_idxs, dtype=np.int32),
+            "role": pd.array(roles, dtype="string"),
+            "text": pd.array(texts, dtype="string"),
+            "tool": pd.array(tools, dtype="string"),
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+
+
+def gen_queries(seed: int = 42, vocab_size: int = 2000) -> list[tuple[int, str, int]]:
+    """Fixed reference query set: (qid, query_text, k) — FIXTURES.md §2."""
+    vocab = make_vocab(vocab_size, seed)
+    hot, warm, mid = vocab[0], vocab[1], vocab[len(vocab) // 2]
+    rare, rarer = vocab[-2], vocab[-1]
+    queries = [
+        hot,                                #  0 hottest single term
+        rare,                               #  1 rare single term
+        f"{hot} {mid}",                     #  2 hot + mid
+        f"{warm} {rare} {mid}",             #  3 three terms
+        f"{hot} {warm} {mid} {rare} {rarer}",  # 4 five terms
+        "the and of",                       #  5 stop-words only -> empty
+        "3 14",                             #  6 digit query
+        "don't",                            #  7 punctuation split
+        "zzzzqqqqxxxx",                     #  8 absent term
+        f"{mid} {mid}",                     #  9 repeated term (quirk Q9)
+        "café",                             # 10 unicode
+        "",                                 # 11 empty query
+        f"{rare} don't 3.14",               # 12 mixed
+        "running flies easily",             # 13 stemming-sensitive
+        f"{vocab[2]} {vocab[3]}",           # 14
+        f"{vocab[5]} {vocab[100]}",         # 15
+        f"{vocab[10]} {vocab[500]} {vocab[1000]}",  # 16
+        "abc123",                           # 17 mixed alnum token
+        "x.y",                              # 18 -> x . y
+        f"{vocab[50]}",                     # 19
+        f"{vocab[200]} {vocab[300]}",       # 20
+        f"{vocab[7]} {rarer}",              # 21 hot+rarest
+        "Ⅻ ٣٤٥",                            # 22 non-ASCII numerics
+        f"{vocab[4]} {vocab[6]} {vocab[8]}",   # 23
+        f"{vocab[1500]} {vocab[1700]}",     # 24 tail terms
+    ]
+    return [(i, q, 10) for i, q in enumerate(queries)]
+
+
+def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> pd.DataFrame:
+    """Write the corpus as a single parquet file (pyarrow); returns the pdf."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = gen_transcripts(n_turns, seed=seed, **kw)
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    return pdf
