@@ -1,0 +1,177 @@
+"""Delta + LEB128-varint posting compression, NumPy-vectorized.
+
+Resolves the reference's own TODO ("apply delta + variable-byte encoding
+here before writing", /root/reference/src/tree.rs:215): the reference
+serializes postings as raw framed structs (8B doc_id + 4B tf each); we
+store sorted doc_id gaps, tfs and doc lengths as three varint streams plus
+per-block metadata (last_doc_id, max_tf, max BM25 tf-norm) every
+``BLOCK_SIZE`` postings, which is what block-max WAND pruning consumes at
+query time.
+
+Both encode and decode are O(max_varint_width) vectorized numpy passes —
+no per-value Python — so they stay fast inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (as uint64)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = varint_lengths(v)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    shifted = v.copy()
+    for b in range(int(nbytes.max())):
+        mask = nbytes > b
+        idxs = starts[mask] + b
+        payload = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[mask] > b + 1).astype(np.uint8)) << 7
+        out[idxs] = payload | cont
+        shifted[mask] = shifted[mask] >> np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, expect: int | None = None) -> np.ndarray:
+    """Decode a LEB128 byte stream back to uint64 values."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        out = np.zeros(0, dtype=np.uint64)
+    else:
+        if b[-1] & 0x80:
+            raise ValueError("truncated varint stream")
+        is_last = (b & 0x80) == 0
+        starts = np.nonzero(np.concatenate(([True], is_last[:-1])))[0]
+        gid = np.cumsum(np.concatenate(([False], is_last[:-1]))).astype(np.int64)
+        pos = np.arange(b.size, dtype=np.int64) - starts[gid]
+        if pos.max(initial=0) > 9:
+            raise ValueError("varint wider than uint64")
+        vals7 = (b & np.uint8(0x7F)).astype(np.uint64) << (pos * 7).astype(np.uint64)
+        out = np.add.reduceat(vals7, starts)
+    if expect is not None and out.size != expect:
+        raise ValueError(f"decoded {out.size} values, expected {expect}")
+    return out
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+):
+    """Compress one term's postings (sorted by doc_id, tree.rs:211).
+
+    Returns (docs_bytes, tfs_bytes, dls_bytes, blocks) where blocks is a
+    list of dicts {last_doc_id, max_tf, max_norm, doc_off, tf_off, dl_off}
+    per block of ``block_size`` postings. max_norm is the exact per-block
+    maximum of the BM25 tf-normalization  tf/(tf + k1*(1-b+b*dl/avgdl)),
+    so a safe score upper bound for the term in a block is
+    idf * (k1+1) * max_norm  (block-max WAND). The *_off fields are byte
+    offsets of the block's first value in each stream, enabling per-block
+    lazy decode (a skipped block is never even decompressed); the first
+    doc_id gap of block i is relative to block i-1's last_doc_id.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return b"", b"", b"", []
+    if n > 1 and (np.diff(doc_ids) <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing")
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:], casting="unsafe")
+    docs_bytes = varint_encode(gaps)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    tfs_bytes = varint_encode(tfs)
+    dls_bytes = varint_encode(dls)
+
+    tfd = tfs.astype(np.float64)
+    norm = tfd / (tfd + k1 * (1.0 - b + b * dls / max(avgdl, 1e-12)))
+
+    # byte offset of each value in each stream -> block start offsets
+    doc_offs = np.concatenate(([0], np.cumsum(varint_lengths(gaps))))
+    tf_offs = np.concatenate(([0], np.cumsum(varint_lengths(tfs))))
+    dl_offs = np.concatenate(([0], np.cumsum(varint_lengths(dls))))
+
+    blocks = []
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        blocks.append(
+            {
+                "last_doc_id": int(doc_ids[e - 1]),
+                "max_tf": int(tfs[s:e].max()),
+                "max_norm": float(norm[s:e].max()),
+                "doc_off": int(doc_offs[s]),
+                "tf_off": int(tf_offs[s]),
+                "dl_off": int(dl_offs[s]),
+            }
+        )
+    return docs_bytes, tfs_bytes, dls_bytes, blocks
+
+
+def decode_block_slice(
+    docs_bytes: bytes,
+    tfs_bytes: bytes,
+    dls_bytes: bytes,
+    blocks: list,
+    i: int,
+    j: int,
+    n: int,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode only blocks [i, j) of one term's postings (lazy block decode).
+
+    Returns (doc_ids, tfs, dls) for postings in those blocks. Uses the
+    per-block byte offsets so skipped blocks are never decompressed.
+    """
+    n_blocks = len(blocks)
+    s_val = i * block_size
+    e_val = min(j * block_size, n)
+    count = e_val - s_val
+    if count <= 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    d0 = blocks[i]["doc_off"]
+    t0 = blocks[i]["tf_off"]
+    l0 = blocks[i]["dl_off"]
+    if j < n_blocks:
+        d1, t1, l1 = blocks[j]["doc_off"], blocks[j]["tf_off"], blocks[j]["dl_off"]
+    else:
+        d1, t1, l1 = len(docs_bytes), len(tfs_bytes), len(dls_bytes)
+    gaps = varint_decode(docs_bytes[d0:d1], count)
+    base = blocks[i - 1]["last_doc_id"] if i > 0 else 0
+    doc_ids = base + np.cumsum(gaps.astype(np.int64))
+    tfs = varint_decode(tfs_bytes[t0:t1], count).astype(np.int64)
+    dls = varint_decode(dls_bytes[l0:l1], count).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def decode_postings(docs_bytes: bytes, tfs_bytes: bytes, dls_bytes: bytes, n: int):
+    """Inverse of encode_postings -> (doc_ids, tfs, dls) int64 arrays."""
+    gaps = varint_decode(docs_bytes, n)
+    doc_ids = np.cumsum(gaps.astype(np.int64))
+    tfs = varint_decode(tfs_bytes, n).astype(np.int64)
+    dls = varint_decode(dls_bytes, n).astype(np.int64)
+    return doc_ids, tfs, dls

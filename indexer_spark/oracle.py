@@ -79,7 +79,8 @@ class OracleIndex:
 
     def search_bm25(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
         """North-star scorer: standard BM25 over unique query terms."""
-        q_terms = set(tokenize(query))
+        # sorted term order pins float summation order (engine matches it)
+        q_terms = sorted(set(tokenize(query)))
         n, avgdl = self.n_docs, self.avgdl
         scores: dict[int, float] = {}
         for term in q_terms:

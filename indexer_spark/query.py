@@ -1,0 +1,295 @@
+"""BM25 / TF-IDF top-k query execution over the sharded compressed index.
+
+Replaces the reference's two-pass search (/root/reference/src/tree.rs:388-465
+— full dict scan, then seek+deserialize every matching postings list and
+score EVERY matching doc, then full sort) with:
+
+  1. driver: tokenize query (identical lexer to the build side,
+     lib.rs:92-96), look up global df for the query terms in the
+     term_stats table (broadcast-sized collect — J3's semi-join),
+  2. executors: scan only postings rows with term IN (...) — Parquet
+     row-group pruning via the term-sorted layout stands in for the
+     reference's (offset, len) dictionary seeks (tree.rs:434-443),
+  3. per shard (applyInPandas): decode + score vectorized; either
+     exhaustively, or with safe block-max pruning ("pruned" mode):
+     segments bounded by block boundaries are processed in descending
+     score-upper-bound order and the scan stops when no remaining segment
+     can beat the current k-th score — skipped blocks are never even
+     decompressed (per-block byte offsets). Because a segment is a doc_id
+     range and shards partition doc_ids, every doc's FULL score is
+     computed inside its segment — pruning is exact, verified by
+     tests against exhaustive mode.
+  4. per-shard top-k -> global orderBy(score desc, doc_id asc).limit(k)
+     (Spark plans TakeOrderedAndProject — true distributed top-k, unlike
+     the reference's full sort, tree.rs:462; doc_id tiebreak is our
+     documented determinism deviation Q6).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import _postings_path, _term_stats_path, docstore, read_stats
+from .compress import decode_block_slice, decode_postings
+from .lexer import tokenize
+
+_SCORE_SCHEMA = "doc_id long, score double"
+
+
+def _bm25_idf(n: int, df: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _topk_merge(ids: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k with (score desc, doc_id asc) tiebreak."""
+    if ids.size == 0:
+        return ids, scores
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order]
+
+
+def _aggregate_scores(id_chunks, score_chunks):
+    """Concat per-term contribution arrays -> per-doc sums.
+
+    Chunks must be appended in sorted-term order; the stable sort then
+    preserves that order within each doc_id group, pinning float
+    summation order to the oracle's (sorted unique terms)."""
+    ids = np.concatenate(id_chunks)
+    sc = np.concatenate(score_chunks)
+    order = np.argsort(ids, kind="stable")
+    ids, sc = ids[order], sc[order]
+    uids, starts = np.unique(ids, return_index=True)
+    sums = np.add.reduceat(sc, starts)
+    return uids, sums
+
+
+def _make_exhaustive_scorer(weights: dict[str, float], k1, b, avgdl, k, kind):
+    """kind='bm25': contribution = w * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
+    kind='tfidf': contribution = w * tf (reference scorer, tree.rs:445-449)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        pdf = pdf.sort_values("term", kind="stable")
+        id_chunks, sc_chunks = [], []
+        for row in pdf.itertuples():
+            d, t, dl = decode_postings(row.docs, row.tfs, row.dls, int(row.df))
+            w = weights[row.term]
+            tf = t.astype(np.float64)
+            if kind == "bm25":
+                contrib = w * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+            else:
+                contrib = w * tf
+            id_chunks.append(d)
+            sc_chunks.append(contrib)
+        uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        if kind == "tfidf":
+            keep = sums != 0.0  # P8: drop exact-zero scores (tree.rs:456-459)
+            uids, sums = uids[keep], sums[keep]
+        uids, sums = _topk_merge(uids, sums, k)
+        return pd.DataFrame({"doc_id": uids, "score": sums})
+
+    return fn
+
+
+def _make_pruned_scorer(idf: dict[str, float], k1, b, avgdl, k, block_size):
+    """Block-max safe pruning (BM25 only), segment-at-a-time.
+
+    Segments are doc_id ranges delimited by the union of all query terms'
+    block boundaries; each segment's upper bound is
+    sum_t idf_t*(k1+1)*max_norm(block_t covering segment). Segments are
+    scored exactly in descending upper-bound order; once the k-th best
+    exact score >= the next upper bound, the rest are skipped without
+    decoding."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        pdf = pdf.sort_values("term", kind="stable")
+        terms = []
+        for row in pdf.itertuples():
+            blocks = list(row.blocks)
+            lasts = np.array([blk["last_doc_id"] for blk in blocks], dtype=np.int64)
+            norms = np.array([blk["max_norm"] for blk in blocks], dtype=np.float64)
+            terms.append({
+                "term": row.term, "df": int(row.df), "docs": row.docs,
+                "tfs": row.tfs, "dls": row.dls, "blocks": blocks,
+                "lasts": lasts, "ub": idf[row.term] * (k1 + 1.0) * norms,
+                "w": idf[row.term], "cache": {},
+            })
+
+        # segment boundaries: union of block last_doc_ids across terms
+        bounds = np.unique(np.concatenate([t["lasts"] for t in terms]))
+        n_seg = bounds.size
+        seg_ub = np.zeros(n_seg, dtype=np.float64)
+        # per term, the block covering each segment (== searchsorted index)
+        seg_block = []
+        for t in terms:
+            bi = np.searchsorted(t["lasts"], bounds)  # block idx or n_blocks
+            seg_block.append(bi)
+            valid = bi < t["lasts"].size
+            seg_ub[valid] += t["ub"][bi[valid]]
+
+        order = np.argsort(-seg_ub, kind="stable")
+        pool_ids = np.zeros(0, dtype=np.int64)
+        pool_sc = np.zeros(0, dtype=np.float64)
+        theta = -math.inf
+
+        for si in order:
+            if pool_ids.size >= k and seg_ub[si] < theta:
+                break  # no remaining segment can beat the k-th score
+            lo = int(bounds[si - 1]) + 1 if si > 0 else 0
+            hi = int(bounds[si])
+            id_chunks, sc_chunks = [], []
+            for ti, t in enumerate(terms):
+                bi = int(seg_block[ti][si])
+                if bi >= t["lasts"].size:
+                    continue
+                cached = t["cache"].get(bi)
+                if cached is None:
+                    cached = decode_block_slice(
+                        t["docs"], t["tfs"], t["dls"], t["blocks"],
+                        bi, bi + 1, t["df"], block_size=block_size,
+                    )
+                    t["cache"][bi] = cached
+                d, tf, dl = cached
+                s_idx = np.searchsorted(d, lo, side="left")
+                e_idx = np.searchsorted(d, hi, side="right")
+                if s_idx == e_idx:
+                    continue
+                tfv = tf[s_idx:e_idx].astype(np.float64)
+                contrib = t["w"] * tfv * (k1 + 1.0) / (
+                    tfv + k1 * (1.0 - b + b * dl[s_idx:e_idx] / avgdl)
+                )
+                id_chunks.append(d[s_idx:e_idx])
+                sc_chunks.append(contrib)
+            if not id_chunks:
+                continue
+            uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+            pool_ids = np.concatenate([pool_ids, uids])
+            pool_sc = np.concatenate([pool_sc, sums])
+            pool_ids, pool_sc = _topk_merge(pool_ids, pool_sc, k)
+            if pool_ids.size >= k:
+                theta = pool_sc[-1]
+        return pd.DataFrame({"doc_id": pool_ids, "score": pool_sc})
+
+    return fn
+
+
+class IndexReader:
+    """Query handle over an index directory (MainIndex analog,
+    tree.rs:251-265 — but stateless: all state is in tables + stats)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+        self._df_cache: dict[str, int] = {}
+
+    # -- metadata lookups ------------------------------------------------
+
+    def global_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.spark.read.parquet(_term_stats_path(self.index_dir))
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _postings_for(self, terms: list[str]) -> DataFrame:
+        return (
+            self.spark.read.parquet(_postings_path(self.index_dir))
+            .filter(F.col("term").isin(terms))
+        )
+
+    # -- search ----------------------------------------------------------
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "pruned"
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k -> [(doc_id, score)]; mode 'pruned' or 'exhaustive'."""
+        df = self.search_df(query, k, mode)
+        if df is None:
+            return []
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    def search_df(self, query: str, k: int = 10, mode: str = "pruned"):
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return None
+        dfs = self.global_dfs(terms)
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return None
+        n = self.stats["n_docs"]
+        idf = {t: _bm25_idf(n, dfs[t]) for t in present}
+        st = self.stats
+        if mode == "pruned":
+            scorer = _make_pruned_scorer(
+                idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"]
+            )
+        else:
+            scorer = _make_exhaustive_scorer(
+                idf, st["k1"], st["b"], st["avgdl"], k, "bm25"
+            )
+        scored = (
+            self._postings_for(present)
+            .groupBy("shard")
+            .applyInPandas(scorer, schema=_SCORE_SCHEMA)
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_tfidf(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
+        """Reference-parity TF-IDF search incl. quirks Q3/Q9 (tree.rs:388-465)."""
+        mult = Counter(tokenize(query))
+        if not mult:
+            return []
+        terms = sorted(mult)
+        dfs = self.global_dfs(terms)
+        n = self.stats["n_docs"]
+        weights = {}
+        for t in terms:
+            if dfs[t] == 0:
+                continue
+            m = mult[t]
+            global_df = float(m * dfs[t])
+            weights[t] = m * m * abs(math.log(n / global_df))
+        if not weights:
+            return []
+        present = sorted(weights)
+        kk = k if k is not None else n
+        scorer = _make_exhaustive_scorer(weights, 0, 0, 1.0, kk, "tfidf")
+        scored = (
+            self._postings_for(present)
+            .groupBy("shard")
+            .applyInPandas(scorer, schema=_SCORE_SCHEMA)
+        )
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
+        return [(r["doc_id"], r["score"]) for r in out.collect()]
+
+    def resolve(self, hits: list[tuple[int, float]]) -> DataFrame:
+        """doc_id -> (conv_id, turn_idx) resolution (J1, tree.rs:454-459):
+        broadcast the tiny top-k side; parquet row-group stats prune the
+        docstore scan by doc_id."""
+        ids = [int(d) for d, _ in hits]
+        hits_df = self.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+        )
+        ds = docstore(self.spark, self.index_dir).filter(F.col("doc_id").isin(ids))
+        return (
+            ds.join(F.broadcast(hits_df), "doc_id")
+            .select("conv_id", "turn_idx", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )

@@ -1,0 +1,146 @@
+"""End-to-end build + query parity: Spark engine vs oracle.
+
+This is the correctness gate from SURVEY.md §5: postings parity, df/N
+parity, BM25 and TF-IDF rank identity on the reference query set, and
+pruned == exhaustive (the safe-pruning invariant)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from indexer_spark.build import docstore, read_manifest, read_stats
+from indexer_spark.query import IndexReader
+from indexer_spark.synth import gen_queries
+
+REL_TOL = 1e-9
+
+
+def test_stats_match_oracle(built_index, oracle_index):
+    _, stats = built_index
+    assert stats["n_docs"] == oracle_index.n_docs
+    assert math.isclose(stats["avgdl"], oracle_index.avgdl, rel_tol=1e-12)
+
+
+def test_docstore_complete_and_dense(spark, built_index, corpus_pdf):
+    index_dir, stats = built_index
+    ds = docstore(spark, index_dir)
+    n = ds.count()
+    assert n == len(corpus_pdf) == stats["n_docs"]
+    row = ds.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+        F.countDistinct("doc_id").alias("u"),
+    ).collect()[0]
+    assert row["lo"] == 0 and row["hi"] == n - 1 and row["u"] == n
+
+
+def test_doc_ids_follow_conv_turn_order(spark, built_index):
+    index_dir, _ = built_index
+    ds = docstore(spark, index_dir).orderBy("doc_id").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in ds]
+    assert keys == sorted(keys)
+
+
+def test_doc_len_parity(spark, built_index, oracle_index):
+    index_dir, _ = built_index
+    ds = docstore(spark, index_dir).select("doc_id", "doc_len").collect()
+    got = {r["doc_id"]: r["doc_len"] for r in ds}
+    assert got == oracle_index.doc_len
+
+
+def test_postings_parity(spark, built_index, oracle_index):
+    """(term -> sorted [(doc_id, tf)]) from Spark equals oracle exactly."""
+    from indexer_spark.build import _postings_path
+    from indexer_spark.compress import decode_postings
+
+    index_dir, _ = built_index
+    rows = spark.read.parquet(_postings_path(index_dir)).collect()
+    got: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        ids, tfs, _dls = decode_postings(
+            bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]), r["df"]
+        )
+        got.setdefault(r["term"], []).extend(zip(ids.tolist(), tfs.tolist()))
+    for t in got:
+        got[t].sort()
+    assert set(got) == set(oracle_index.postings)
+    for t, plist in oracle_index.postings.items():
+        assert got[t] == plist, f"postings mismatch for {t!r}"
+
+
+def test_global_df_parity(spark, built_index, oracle_index):
+    from indexer_spark.build import _term_stats_path
+
+    index_dir, _ = built_index
+    rows = spark.read.parquet(_term_stats_path(index_dir)).collect()
+    got = {r["term"]: r["df"] for r in rows}
+    want = {t: len(p) for t, p in oracle_index.postings.items()}
+    assert got == want
+
+
+def test_dl_stream_matches_docstore(spark, built_index, oracle_index):
+    from indexer_spark.build import _postings_path
+    from indexer_spark.compress import decode_postings
+
+    index_dir, _ = built_index
+    rows = spark.read.parquet(_postings_path(index_dir)).limit(50).collect()
+    for r in rows:
+        ids, _tfs, dls = decode_postings(
+            bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]), r["df"]
+        )
+        for d, dl in zip(ids.tolist(), dls.tolist()):
+            assert dl == oracle_index.doc_len[d]
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "pruned"])
+def test_bm25_rank_identity(spark, built_index, oracle_index, mode):
+    index_dir, _ = built_index
+    reader = IndexReader(spark, index_dir)
+    for qid, q, k in gen_queries():
+        want = oracle_index.search_bm25(q, k)
+        got = reader.search(q, k, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], (
+            f"q{qid} {q!r} ({mode}): doc ranks differ\n got {got}\nwant {want}"
+        )
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q, gd, gs, ws)
+
+
+def test_tfidf_rank_identity(spark, built_index, oracle_index):
+    index_dir, _ = built_index
+    reader = IndexReader(spark, index_dir)
+    for qid, q, k in gen_queries():
+        want = oracle_index.search_tfidf(q, k)
+        got = reader.search_tfidf(q, k)
+        assert [d for d, _ in got] == [d for d, _ in want], (
+            f"q{qid} {q!r}: tfidf ranks differ\n got {got}\nwant {want}"
+        )
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q, gd, gs, ws)
+
+
+def test_resolve_join(spark, built_index, corpus_pdf, oracle_index):
+    index_dir, _ = built_index
+    reader = IndexReader(spark, index_dir)
+    q = gen_queries()[3][1]
+    hits = reader.search(q, 5)
+    assert hits
+    resolved = reader.resolve(hits).collect()
+    assert len(resolved) == len(hits)
+    sorted_pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for r in resolved:
+        row = sorted_pdf.iloc[r["doc_id"]]
+        assert (row["conv_id"], row["turn_idx"]) == (r["conv_id"], r["turn_idx"])
+
+
+def test_manifest_covers_all_shards(built_index):
+    index_dir, stats = built_index
+    m = read_manifest(index_dir)
+    shards = {r["shard"] for r in m if r["stage"] == "postings"}
+    assert shards == set(range(stats["n_shards"]))
+    for r in m:
+        if r["stage"] == "postings":
+            assert r["status"] == "done"
+            assert r["n_bytes"] >= 0 and r["wall_ms"] >= 0
+    # stats file round-trips
+    assert read_stats(index_dir)["n_docs"] == stats["n_docs"]
