@@ -1,38 +1,507 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the real engine end-to-end (build a compressed
+inverted index over sf0.001 documents, BM25-query it, resolve hits).
+
+``queries()`` / ``oracle_sql()`` expose the SQL-expressible operators of
+SURVEY.md §2 (tokenize/tf A1, df A3-A4, idf F2, tf-idf & BM25 scoring
+A5/F2-F3, top-k T3-T4, doc-id assignment J2/§2.5, dedup + similarity +
+text-stats extras) over the driver's pre-registered tables, each paired
+with a DuckDB oracle. Non-SQL-expressible stages (stemming, varint codec,
+block-max pruning, resume) are verified in tests/ against the oracle
+(SURVEY.md §5); rows-only entries here cover the UDF-backed ones.
+
+Cross-engine determinism rules used throughout:
+- floats are round(x, 6) on both sides,
+- score sums are written as fixed-order arithmetic over per-term columns
+  (not SUM over an exploded set) so float summation order is pinned,
+- integer outputs are cast to bigint to match DuckDB's BIGINT defaults,
+- every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+# three terms present in the documents vocabulary (driver testdata)
+_TERMS = ("scan", "merge", "hash")
+_K1, _B = 1.2, 0.75
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make indexer_spark importable on executors (idempotent)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from indexer_spark.packaging import make_pyfiles_zip
+
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass  # already added, or running where the package is importable
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship: the real engine, end to end
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build a compressed inverted index over sf0.001 documents with the
+    engine (doc per row, doc keyed by synthetic (conv_id, turn_idx)), then
+    run a BM25 top-10 query and resolve doc_ids — SURVEY.md §3.1 + §3.2
+    reshaped for Spark."""
+    _ship_package(spark)
+    from indexer_spark.build import BuildConfig, build_index
+    from indexer_spark.query import IndexReader
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    transcripts = docs.select(
+        F.format_string("doc_%08d", "doc_id").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        "text",
+    )
+    index_dir = tempfile.mkdtemp(prefix="indexer_spark_entry_")
+    cfg = BuildConfig(shard_docs=256, block_size=64, term_buckets=2,
+                      id_partitions=4)
+    build_index(spark, transcripts, index_dir, cfg)
+    reader = IndexReader(spark, index_dir)
+    hits = reader.search("scan merge hash", k=10, mode="pruned")
+    return reader.resolve(hits)
+
+
+# --------------------------------------------------------------------------
+# SQL-parity operator demos
+# --------------------------------------------------------------------------
+
+def _q_tf_count(spark, sf_dir):
+    # A1: per-doc term frequency (hash-agg partial+final)
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _q_doc_len(spark, sf_dir):
+    # doc_len for BM25 (docstore column; empty docs keep 0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("doc_len"),
+    )
+
+
+def _q_df(spark, sf_dir):
+    # A3/A4: document frequency per term (global final agg)
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+def _q_idf(spark, sf_dir):
+    # F2: reference idf = |ln(N/df)| (tree.rs:425-426), rounded 6dp
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return (
+        _q_df(spark, sf_dir)
+        .select(
+            "term",
+            "df",
+            F.round(F.abs(F.log(F.lit(float(n)) / F.col("df"))), 6).alias("idf"),
+        )
+    )
+
+
+def _per_term_tf(spark, sf_dir):
+    """doc_id, tf_scan, tf_merge, tf_hash (0 when absent) — fixed-order
+    scoring base shared by the tf-idf and BM25 demos."""
+    tok = _tokens(spark, sf_dir).filter(F.col("term").isin(list(_TERMS)))
+    agg = tok.groupBy("doc_id").pivot("term", list(_TERMS)).count()
+    out = agg
+    for t in _TERMS:
+        out = out.withColumn(f"tf_{t}", F.coalesce(F.col(t), F.lit(0)).cast("long"))
+    return out.select("doc_id", *[f"tf_{t}" for t in _TERMS])
+
+
+def _df_of_terms(spark, sf_dir) -> dict[str, int]:
+    rows = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").isin(list(_TERMS)))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in rows}
+    return {t: dfs.get(t, 0) for t in _TERMS}
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    # A5 + F2/F3 + P8 + T3/T4: reference scorer, fixed 3-term query,
+    # score-desc/doc-id-asc top 10
+    import math
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dfs = _df_of_terms(spark, sf_dir)
+    idf = {t: abs(math.log(n / dfs[t])) if dfs[t] else 0.0 for t in _TERMS}
+    base = _per_term_tf(spark, sf_dir)
+    score = sum(
+        (F.col(f"tf_{t}") * F.lit(idf[t]) for t in _TERMS), F.lit(0.0)
+    )
+    return (
+        base.withColumn("score", F.round(score, 6))
+        .filter(F.col("score") != 0.0)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _q_bm25_topk(spark, sf_dir):
+    # north-star BM25 over the same fixed query, SQL-checkable
+    import math
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dfs = _df_of_terms(spark, sf_dir)
+    idf = {
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in _TERMS
+    }
+    dl = _q_doc_len(spark, sf_dir)
+    total_len = dl.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = float(total_len) / n
+    base = _per_term_tf(spark, sf_dir).join(dl, "doc_id")
+    norm = F.lit(_K1) * (
+        F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for t in _TERMS:
+        tf = F.col(f"tf_{t}")
+        score = score + F.lit(idf[t]) * tf * F.lit(_K1 + 1.0) / (tf + norm)
+    return (
+        base.withColumn("score", F.round(score, 6))
+        .filter(F.col("score") > 0.0)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _q_docid_assign(spark, sf_dir):
+    # J2/§2.5: deterministic dense id assignment (row_number over stable key)
+    w = Window.orderBy("source", "doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("assigned_id"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    # exact dedup: hash-groupBy on content, keep min doc_id per group
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def _q_sim_topk(spark, sf_dir):
+    # brute-force cosine top-k over embeddings vs vec_id 0 (ANN baseline)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    j = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # dot / sqrt(|a|^2 * |b|^2): same expression shape DuckDB's
+    # list_cosine_similarity uses, so float results agree bit-for-bit
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        j.select(
+            "vec_id",
+            F.round(dot / F.sqrt(sq(F.col("v")) * sq(F.col("q"))), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    # text-analysis: token counting + quality stats per doc
+    tok = _tokens(spark, sf_dir)
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+    )
+
+
+def _q_lang_count(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _q_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # exact decimal sum -> order-independent across partitions
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6)
+        .alias("total_value"),
+    )
+
+
+def _q_top_users(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6)
+            .alias("total_value")
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# -- rows-only demos (not SQL-expressible: UDF / engine-hash based) --------
+
+def _q_minhash_pairs(spark, sf_dir):
+    """Near-dup candidates via MinHash+LSH banding (xxhash64-based; engine-
+    specific hash => rows-only check). 16 hashes, 4 bands of 4 (a band
+    matches only when all 4 minhashes agree => candidates need high
+    estimated Jaccard)."""
+    tok = _tokens(spark, sf_dir).distinct()
+    sigs = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("term"), F.lit(i))).alias(f"h{i}")
+            for i in range(16)
+        ]
+    )
+    bands = []
+    for bnd in range(4):
+        cols = [F.col(f"h{4*bnd + j}") for j in range(4)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    bb = allb.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _q_tokenize_udf(spark, sf_dir):
+    """The real reference-parity tokenizer (lex+stem+stop) as an Arrow
+    pandas UDF — not SQL-expressible (rows-only check; full parity is
+    pytest-verified against the oracle)."""
+    _ship_package(spark)
+    from indexer_spark.udfs import n_index_terms_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", n_index_terms_udf("text").alias("n_terms")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tf_count": _q_tf_count,
+        "doc_len": _q_doc_len,
+        "df": _q_df,
+        "idf": _q_idf,
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25_topk,
+        "docid_assign": _q_docid_assign,
+        "dedup_exact": _q_dedup_exact,
+        "sim_topk": _q_sim_topk,
+        "text_quality": _q_text_quality,
+        "lang_count": _q_lang_count,
+        "events_by_type": _q_events_by_type,
+        "top_users": _q_top_users,
+        "minhash_pairs": _q_minhash_pairs,
+        "tokenize_udf": _q_tokenize_udf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    terms_in = ", ".join(f"'{t}'" for t in _TERMS)
+    tok = (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+    )
+    tf_pivot = f"""
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term='scan'  THEN tf END), 0) AS tf_scan,
+             coalesce(max(CASE WHEN term='merge' THEN tf END), 0) AS tf_merge,
+             coalesce(max(CASE WHEN term='hash'  THEN tf END), 0) AS tf_hash
+      FROM (SELECT doc_id, term, count(*) AS tf
+            FROM ({tok}) WHERE term IN ({terms_in}) GROUP BY doc_id, term)
+      GROUP BY doc_id
     """
-    return {}
+    dfs = f"""
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM ({tok}) WHERE term IN ({terms_in}) GROUP BY term
+    """
+    return {
+        "tf_count": f"""
+            SELECT doc_id, term, count(*) AS tf
+            FROM ({tok}) t WHERE term <> '' GROUP BY doc_id, term
+        """,
+        "doc_len": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+                     AS doc_len
+            FROM documents
+        """,
+        "df": f"""
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM ({tok}) t WHERE term <> '' GROUP BY term
+        """,
+        "idf": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT term, df, round(abs(ln(n.n / df)), 6) AS idf
+            FROM (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM ({tok}) t WHERE term <> '' GROUP BY term), n
+        """,
+        "tfidf_topk": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            d AS ({dfs}),
+            idf AS (SELECT term, abs(ln((SELECT n FROM n) / df)) AS idf FROM d),
+            base AS ({tf_pivot})
+            SELECT doc_id,
+                   round(  tf_scan  * coalesce((SELECT idf FROM idf WHERE term='scan'), 0)
+                         + tf_merge * coalesce((SELECT idf FROM idf WHERE term='merge'), 0)
+                         + tf_hash  * coalesce((SELECT idf FROM idf WHERE term='hash'), 0), 6)
+                     AS score
+            FROM base
+            WHERE round(  tf_scan  * coalesce((SELECT idf FROM idf WHERE term='scan'), 0)
+                        + tf_merge * coalesce((SELECT idf FROM idf WHERE term='merge'), 0)
+                        + tf_hash  * coalesce((SELECT idf FROM idf WHERE term='hash'), 0), 6) <> 0.0
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "bm25_topk": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id,
+                          len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT AS doc_len
+                   FROM documents),
+            avg_dl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+            d AS ({dfs}),
+            idf AS (SELECT term,
+                           ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+                    FROM d),
+            base AS ({tf_pivot})
+            SELECT b.doc_id AS doc_id,
+                   round(  coalesce((SELECT idf FROM idf WHERE term='scan'),0)
+                             * b.tf_scan * 2.2
+                             / (b.tf_scan + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                         + coalesce((SELECT idf FROM idf WHERE term='merge'),0)
+                             * b.tf_merge * 2.2
+                             / (b.tf_merge + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                         + coalesce((SELECT idf FROM idf WHERE term='hash'),0)
+                             * b.tf_hash * 2.2
+                             / (b.tf_hash + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))), 6)
+                     AS score
+            FROM base b JOIN dl ON b.doc_id = dl.doc_id
+            WHERE   coalesce((SELECT idf FROM idf WHERE term='scan'),0)
+                      * b.tf_scan * 2.2
+                      / (b.tf_scan + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                  + coalesce((SELECT idf FROM idf WHERE term='merge'),0)
+                      * b.tf_merge * 2.2
+                      / (b.tf_merge + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                  + coalesce((SELECT idf FROM idf WHERE term='hash'),0)
+                      * b.tf_hash * 2.2
+                      / (b.tf_hash + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))) > 0.0
+            ORDER BY score DESC, b.doc_id ASC LIMIT 10
+        """,
+        "docid_assign": """
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY source, doc_id) - 1)::BIGINT
+                     AS assigned_id
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT q FROM q)), 6)
+                     AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "text_quality": f"""
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_distinct,
+                   round(avg(length(term)), 6) AS avg_token_len
+            FROM ({tok}) t WHERE term <> '' GROUP BY doc_id
+        """,
+        "lang_count": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value::DECIMAL(28,6))::DOUBLE, 6) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "top_users": """
+            SELECT user_id,
+                   round(sum(value::DECIMAL(28,6))::DOUBLE, 6) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 10
+        """,
+        # minhash_pairs, tokenize_udf: engine-hash / UDF based -> rows-only
+    }

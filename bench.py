@@ -1,0 +1,115 @@
+"""Benchmark harness: index-build throughput + BM25 query latency.
+
+Synthesizes a deterministic transcripts corpus sized by the scale factor
+of $SPARK_GRAFT_SF_DIR (per BASELINE.json input_hint — the corpus shape is
+fixed; no external data), builds the full compressed inverted index with
+the engine, then runs the reference query set warm.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-step seconds...}, "sf": <sf>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32),
+     SPARK_GRAFT_TURNS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from indexer_spark.build import BuildConfig, build_index
+    from indexer_spark.query import IndexReader
+    from indexer_spark.session import get_spark
+    from indexer_spark.synth import gen_queries, gen_transcripts
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(1_000_000 * sf))))
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    pdf = gen_transcripts(n_turns, seed=42)
+    timings["synth"] = round(time.time() - t0, 3)
+    log(f"synth: {n_turns} turns in {timings['synth']}s")
+
+    spark = get_spark(
+        cores=cpus, shuffle_partitions=cpus, driver_memory="48g",
+        app_name="indexer_spark_bench",
+    )
+    sdf = spark.createDataFrame(pdf).cache()
+    sdf.count()  # materialize input outside the build timing
+
+    index_dir = tempfile.mkdtemp(prefix="indexer_spark_bench_")
+    try:
+        cfg = BuildConfig(
+            shard_docs=max(8192, n_turns // (2 * cpus) + 1),
+            block_size=128,
+            term_buckets=8,
+            id_partitions=cpus,
+        )
+        t0 = time.time()
+        stats = build_index(spark, sdf, index_dir, cfg)
+        timings["build"] = round(time.time() - t0, 3)
+        turns_per_sec = round(n_turns / timings["build"], 1)
+        log(f"build: {timings['build']}s ({turns_per_sec} turns/s), stats={stats}")
+
+        reader = IndexReader(spark, index_dir)
+        queries = [q for _, q, _ in gen_queries() if q.strip()]
+        # cold query (includes term_stats scan)
+        t0 = time.time()
+        reader.search(queries[0], 10, mode="pruned")
+        timings["bm25_cold"] = round(time.time() - t0, 3)
+        # warm set
+        lat = []
+        for q in queries:
+            t0 = time.time()
+            reader.search(q, 10, mode="pruned")
+            lat.append(time.time() - t0)
+        lat_sorted = sorted(lat)
+        timings["bm25_warm_total"] = round(sum(lat), 3)
+        p50 = lat_sorted[len(lat) // 2]
+        p95 = lat_sorted[min(len(lat) - 1, int(0.95 * len(lat)))]
+        timings["bm25_p50"] = round(p50, 3)
+        timings["bm25_p95"] = round(p95, 3)
+        t0 = time.time()
+        reader.search_tfidf(queries[2], 10)
+        timings["tfidf"] = round(time.time() - t0, 3)
+        log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s")
+
+        total = round(timings["build"] + timings["bm25_warm_total"], 3)
+        out = {
+            "metric": "index_build_plus_bm25_queryset_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "turns": n_turns,
+            "turns_per_sec": turns_per_sec,
+            "bm25_p95_sec": timings["bm25_p95"],
+            "cpus": cpus,
+            "n_shards": stats["n_shards"],
+        }
+        print(json.dumps(out), flush=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

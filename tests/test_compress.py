@@ -46,7 +46,7 @@ def test_truncated_stream_raises():
 @given(
     st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300)
 )
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_varint_roundtrip(vals):
     arr = np.array(vals, dtype=np.uint64)
     assert list(varint_decode(varint_encode(arr), expect=len(vals))) == vals
@@ -61,7 +61,7 @@ def test_varint_roundtrip(vals):
         )
     )
 )
-@settings(max_examples=100)
+@settings(max_examples=100, deadline=None)
 def test_postings_roundtrip_and_blocks(data):
     ids, tfs, dls = data
     ids = sorted(ids)
@@ -97,7 +97,7 @@ def test_postings_roundtrip_and_blocks(data):
         )
     )
 )
-@settings(max_examples=100)
+@settings(max_examples=100, deadline=None)
 def test_block_slice_decode(data):
     ids, bi, bj = data
     ids = sorted(ids)
