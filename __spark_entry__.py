@@ -354,6 +354,40 @@ def _q_tokenize_udf(spark, sf_dir):
     )
 
 
+def _q_simhash(spark, sf_dir):
+    """64-bit SimHash per doc, fully JVM-side (engine-hash based =>
+    rows-only check; invariants tested in tests/test_extras.py)."""
+    _ship_package(spark)
+    from indexer_spark.extras.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    """Quality scoring features (JVM regexp semantics differ from DuckDB
+    => rows-only; invariants tested in tests/test_extras.py)."""
+    _ship_package(spark)
+    from indexer_spark.extras.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    """Heuristic language ID (pandas UDF => rows-only)."""
+    _ship_package(spark)
+    from indexer_spark.extras.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (numpy UDF => rows-only)."""
+    _ship_package(spark)
+    from indexer_spark.extras.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -371,6 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users": _q_top_users,
         "minhash_pairs": _q_minhash_pairs,
         "tokenize_udf": _q_tokenize_udf,
+        "simhash": _q_simhash,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
     }
 
 

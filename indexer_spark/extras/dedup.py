@@ -1,0 +1,270 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB story):
+- every candidate-generation step is a hash-partitioned groupBy/self-join
+  on a bucket key, never an all-pairs product;
+- signatures are fixed-width (64 aggregate columns max), computed in one
+  shuffle over the exploded token table with map-side partial aggregation;
+- bucket self-joins are equi-joins on (band, bucket) — AQE skew-join
+  handles pathological buckets; `max_bucket_size` drops degenerate buckets
+  (e.g. the empty-text bucket) the way production dedup pipelines do;
+- verification (exact Jaccard / cosine) runs only on candidate pairs.
+"""
+
+# NOTE: no `from __future__ import annotations` - pandas_udf needs real hints
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy (one shuffle on the hash)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+            F.collect_list(id_col).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col="text", id_col="doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures: min over xxhash64(term, i) per doc — one
+    exploded-token shuffle, num_hashes JVM-side min() aggregates (partial
+    map-side combine keeps the shuffle at O(docs), not O(tokens))."""
+    tok = _tokens(df, text_col, id_col).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.col("term"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col="doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket).
+
+    A pair is a candidate iff all `rows_per_band` minhashes agree in some
+    band (P[candidate] ≈ 1-(1-j^r)^b for Jaccard j). Buckets larger than
+    `max_bucket_size` are dropped (degenerate content; avoids the
+    quadratic blowup a hot bucket causes at scale)."""
+    band_frames = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sigs.select(
+                F.col(id_col).alias("doc"),
+                F.lit(bnd).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    allb = band_frames[0]
+    for x in band_frames[1:]:
+        allb = allb.unionByName(x)
+    sized = allb.join(
+        allb.groupBy("band", "bucket").count(), ["band", "bucket"]
+    ).filter(F.col("count") <= max_bucket_size)
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col="text", id_col="doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs only (two broadcast-or-
+    shuffle hash joins against the per-doc token sets, then JVM array
+    intersection — no UDF)."""
+    sets = (
+        _tokens(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("term").alias("terms"))
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed(id_col, "doc_a")
+                   .withColumnRenamed("terms", "terms_a"), "doc_a")
+        .join(sets.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("terms", "terms_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("terms_a", "terms_b"))
+    union = F.size(F.array_union("terms_a", "terms_b"))
+    return (
+        j.select(
+            "doc_a", "doc_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col="text", id_col="doc_id",
+    num_hashes=32, bands=8, threshold=0.8,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures -> banding -> candidate pairs
+    -> exact-Jaccard verification at `threshold`."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return verify_jaccard(df, pairs, text_col, id_col, threshold)
+
+
+def simhash64(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """64-bit SimHash over tf-weighted term hashes, fully JVM-side:
+    per bit i, sum(tf * (+1 if bit set else -1)); bit i of the output is
+    1 iff that sum > 0. One exploded shuffle, 64 conditional-sum
+    aggregates with map-side combine."""
+    tok = (
+        _tokens(df, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    aggs = []
+    for i in range(64):
+        bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{i}")
+        )
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col="text", id_col="doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: block on 4 x 16-bit chunks (pigeonhole: any pair
+    within hamming distance 3 shares at least one exact chunk), then
+    verify the full hamming distance on candidates — the standard
+    Manku/Jain/Sarma chunk-join, linear in docs per block."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            sh.select(
+                F.col(id_col).alias("doc"),
+                F.col("simhash"),
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+        )
+    allc = chunks[0]
+    for x in chunks[1:]:
+        allc = allc.unionByName(x)
+    a, b = allc.alias("a"), allc.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col="text", id_col="doc_id", n: int = 5
+) -> DataFrame:
+    """Character n-gram shingles, JVM-side (sequence + substring), for
+    n-gram Jaccard dedup: feed the result into minhash on 'term'."""
+    s = F.lower(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return df.select(
+        id_col,
+        F.explode(F.transform(idx, lambda i: s.substr(i, F.lit(n)))).alias("term"),
+    ).filter(F.length("term") == n)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, vec_col="embedding", id_col="vec_id",
+    n_planes: int = 12, threshold: float = 0.95, seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH buckets (sign bits of
+    dot products with seeded Gaussian planes, computed in a vectorized
+    Arrow batch matmul), then exact cosine verification within buckets."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    rng = np.random.default_rng(seed)
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def bucket_of(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0
+        out = np.zeros(len(vs), dtype=np.int64)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    vd = emb.select(
+        id_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).withColumn("bucket", bucket_of("v"))
+    a, b = vd.alias("a"), vd.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / F.sqrt(sq(F.col("a.v")) * sq(F.col("b.v")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -196,14 +196,25 @@ class IndexReader:
     # -- metadata lookups ------------------------------------------------
 
     def global_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term global df (pass 1 of the reference search,
+        tree.rs:395-416). Served driver-side straight from the
+        range-partitioned, term-sorted term_stats parquet via pyarrow —
+        predicate pushdown prunes row groups, so this is a metadata-sized
+        read, not a Spark job (a query-latency win at any scale; the
+        10^12-doc deployment would front this with the same dictionary
+        files behind a lookup service)."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
-            rows = (
-                self.spark.read.parquet(_term_stats_path(self.index_dir))
-                .filter(F.col("term").isin(missing))
-                .collect()
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(_term_stats_path(self.index_dir), format="parquet")
+            tbl = ds.to_table(filter=pads.field("term").isin(missing))
+            found = dict(
+                zip(
+                    tbl.column("term").to_pylist(),
+                    (int(x) for x in tbl.column("df").to_pylist()),
+                )
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
