@@ -79,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
         "text",
     )
     index_dir = tempfile.mkdtemp(prefix="indexer_spark_entry_")
-    cfg = BuildConfig(shard_docs=256, block_size=64, term_buckets=2,
+    cfg = BuildConfig(shard_docs=256, block_size=64,
                       id_partitions=4)
     build_index(spark, transcripts, index_dir, cfg)
     reader = IndexReader(spark, index_dir)

@@ -34,35 +34,39 @@ def main():
     from indexer_spark.build import BuildConfig, build_index
     from indexer_spark.query import IndexReader
     from indexer_spark.session import get_spark
-    from indexer_spark.synth import gen_queries, gen_transcripts
+    from indexer_spark.synth import gen_queries
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(1_000_000 * sf))))
+    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(20_000_000 * sf))))
+
+    from indexer_spark.synth import transcripts_spark
 
     timings: dict[str, float] = {}
-    t0 = time.time()
-    pdf = gen_transcripts(n_turns, seed=42)
-    timings["synth"] = round(time.time() - t0, 3)
-    log(f"synth: {n_turns} turns in {timings['synth']}s")
-
     spark = get_spark(
         cores=cpus, shuffle_partitions=cpus, driver_memory="48g",
         app_name="indexer_spark_bench",
     )
-    sdf = spark.createDataFrame(pdf).cache()
-    sdf.count()  # materialize input outside the build timing
-
+    corpus_dir = tempfile.mkdtemp(prefix="indexer_spark_corpus_")
     index_dir = tempfile.mkdtemp(prefix="indexer_spark_bench_")
     try:
-        cfg = BuildConfig(
-            shard_docs=max(8192, n_turns // (2 * cpus) + 1),
-            block_size=128,
-            term_buckets=8,
-            id_partitions=cpus,
-        )
+        # distributed deterministic synthesis (identical bytes at any
+        # parallelism); materialized to parquet so the build reads a real
+        # table, like an Iceberg source
+        t0 = time.time()
+        transcripts_spark(spark, n_turns, seed=42).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+        timings["synth"] = round(time.time() - t0, 3)
+        log(f"synth: {n_turns} turns in {timings['synth']}s")
+        sdf = spark.read.parquet(corpus_dir)
+
+        # fixed shard count regardless of cpus: the scaling bench compares
+        # the SAME physical plan at two parallelism levels
+        n_shards = int(os.environ.get("SPARK_GRAFT_SHARDS", "32"))
+        cfg = BuildConfig(block_size=128, id_partitions=n_shards)
         t0 = time.time()
         stats = build_index(spark, sdf, index_dir, cfg)
         timings["build"] = round(time.time() - t0, 3)
@@ -108,6 +112,7 @@ def main():
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
 

@@ -16,14 +16,22 @@ computation is expressed with no lock and no driver bottleneck:
                    A shard is the scale-out analog of the reference's
                    100-doc segment (tree.rs:269).
 
-  stage "postings" per pending shard: explode terms, group by
-                   (shard, term_bucket) — term_bucket = hash(term) mod B
-                   bounds group memory AND defeats hot-term skew (quirk
-                   Q4: punctuation terms are massive; a hot term's group
-                   is still capped at shard_docs postings) — then
-                   vectorized delta+varint encode (compress.py) into one
-                   row per (shard, term). Written with dynamic partition
-                   overwrite so re-runs are idempotent per shard.
+  stage "postings" per pending shard: ONE shuffle of compact doc rows
+                   (terms/tfs as Arrow list columns, not exploded rows)
+                   keyed by shard; the per-shard applyInPandas explodes
+                   with numpy, factorize+lexsorts (term, doc_id), and
+                   delta+varint-encodes (compress.py) into one row per
+                   (shard, term), written directly partitionBy(shard)
+                   with dynamic partition overwrite (idempotent re-runs)
+                   and small parquet row groups so query-time term
+                   predicates prune within a shard file.
+                   Skew note (quirk Q4: hot punctuation terms): groups
+                   are doc-ranges, not terms, so every group is the same
+                   size by construction — a hot term costs its postings
+                   count spread evenly across ALL shards, never one
+                   reducer. This is the salted-merge insight taken to its
+                   limit: the doc-partitioned layout makes term salt
+                   unnecessary on the build side.
 
   stage "stats"    global df per term (partial per shard -> final sum,
                    exactly the tree.rs:212/413 partial/final split) +
@@ -49,9 +57,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .lexer import term_counts
 
+# terms = "\n"-joined tokens (tokens never contain whitespace, so "\n" is
+# a safe delimiter); tfs = ","-joined decimal counts. Flat strings convert
+# through Arrow at C speed — list<string> columns cost per-element Python
+# conversion, which dominated the tokenize stage at 2M+ docs.
 TOK_SCHEMA = (
     "doc_id long, shard int, conv_id string, turn_idx int, role string, "
-    "doc_len int, terms array<struct<term: string, tf: int>>"
+    "doc_len int, terms string, tfs string"
 )
 
 POSTINGS_SCHEMA = (
@@ -63,12 +75,15 @@ POSTINGS_SCHEMA = (
 
 @dataclass
 class BuildConfig:
-    shard_docs: int = 1 << 16      # docs per shard (segment analog)
+    shard_docs: int = 1 << 16      # docs per shard (segment analog; also
+    #                                the postings-agg memory bound: a group
+    #                                holds one shard's (term,doc,tf) tuples)
     block_size: int = 128          # postings per WAND block
-    term_buckets: int = 8          # sub-groups per shard for the agg
     k1: float = 1.2
     b: float = 0.75
     id_partitions: int | None = None
+    row_group_bytes: int = 1 << 20  # small parquet row groups on postings
+    #                                 => term-predicate pruning within files
     extra_lineage: dict = field(default_factory=dict)
 
 
@@ -112,43 +127,50 @@ def _write_stats(index_dir: str, stats: dict) -> None:
 # stage "ids": deterministic dense doc ids + tokenize -> forward index
 # --------------------------------------------------------------------------
 
-def _make_tokenizer(offsets: dict[int, int], shard_docs: int):
+def _make_tokenizer(offsets: dict[int, int]):
     """mapInPandas fn: assign doc_ids from partition offsets + tokenize.
 
     Runs once per partition (iterator of Arrow batches); the partition's
     rows arrive in (conv_id, turn_idx) order, so
     doc_id = partition_offset + running_local_index is globally dense and
     ordered — the scalable replacement for a global row_number window.
+
+    shard == the stage-1 partition id: each shard is then written as
+    exactly ONE parquet file, which is what lets the postings stage read
+    whole shards per task with no shuffle at all.
     """
 
     def fn(batches):
         base = None
+        shard = None
         local = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if base is None:
-                base = offsets[int(pdf["pid"].iloc[0])]
+                shard = int(pdf["pid"].iloc[0])
+                base = offsets[shard]
             n = len(pdf)
             doc_ids = base + local + np.arange(n, dtype=np.int64)
             local += n
-            terms_col, dls = [], np.zeros(n, dtype=np.int32)
+            terms_col, tfs_col = [], []
+            dls = np.zeros(n, dtype=np.int32)
             texts = pdf["text"].tolist()
             for i, text in enumerate(texts):
                 counts = term_counts(text)
                 dls[i] = sum(counts.values())
-                terms_col.append(
-                    [{"term": t, "tf": c} for t, c in counts.items()]
-                )
+                terms_col.append("\n".join(counts.keys()))
+                tfs_col.append(",".join(map(str, counts.values())))
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
-                    "shard": (doc_ids // shard_docs).astype(np.int32),
+                    "shard": np.full(n, shard, dtype=np.int32),
                     "conv_id": pdf["conv_id"].values,
                     "turn_idx": pdf["turn_idx"].values,
                     "role": pdf["role"].values,
                     "doc_len": dls,
                     "terms": terms_col,
+                    "tfs": tfs_col,
                 }
             )
 
@@ -157,7 +179,24 @@ def _make_tokenizer(offsets: dict[int, int], shard_docs: int):
 
 def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     t0 = time.time()
-    p = cfg.id_partitions or max(spark.sparkContext.defaultParallelism, 4)
+    if cfg.id_partitions:
+        p = cfg.id_partitions
+    else:
+        # count is metadata-cheap on parquet/iceberg sources; shard_docs is
+        # the docs-per-shard target
+        n_est = df.count()
+        p = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_est / cfg.shard_docs),
+        )
+    import sys as _sys
+
+    dbg = os.environ.get("SPARK_GRAFT_DEBUG")
+
+    def _dbg(msg, t):
+        if dbg:
+            print(f"[ids] {msg}: {time.time() - t:.1f}s", file=_sys.stderr)
+
     parted = (
         df.repartitionByRange(p, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
@@ -165,18 +204,21 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     )
     parted.persist()
     try:
+        t1 = time.time()
         counts = {r["pid"]: r["count"] for r in parted.groupBy("pid").count().collect()}
+        _dbg("range-partition+count", t1)
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        tok = parted.mapInPandas(
-            _make_tokenizer(offsets, cfg.shard_docs), schema=TOK_SCHEMA
-        )
+        tok = parted.mapInPandas(_make_tokenizer(offsets), schema=TOK_SCHEMA)
+        t1 = time.time()
         tok.write.partitionBy("shard").mode("overwrite").parquet(_tok_path(index_dir))
+        _dbg("tokenize+write", t1)
     finally:
         parted.unpersist()
 
+    t1 = time.time()
     agg = (
         spark.read.parquet(_tok_path(index_dir))
         .agg(
@@ -186,17 +228,19 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
         )
         .collect()[0]
     )
+    _dbg("stats-agg", t1)
     n_docs = agg["n"]
     assert n_docs == acc and agg["n_ids"] == n_docs, "doc_id assignment not dense/unique"
     avgdl = (agg["total_len"] or 0) / n_docs if n_docs else 0.0
     stats = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
-        "shard_docs": cfg.shard_docs,
         "block_size": cfg.block_size,
         "k1": cfg.k1,
         "b": cfg.b,
-        "n_shards": int(math.ceil(n_docs / cfg.shard_docs)) if n_docs else 0,
+        # shard == stage-1 partition id; empty partitions own no file but
+        # keep their slot so resume bookkeeping stays dense
+        "n_shards": int(p),
     }
     _write_stats(index_dir, stats)
     _append_manifest(
@@ -216,7 +260,7 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
 # --------------------------------------------------------------------------
 
 def _make_postings_builder(avgdl: float, k1: float, b: float, block_size: int):
-    from .compress import encode_postings
+    from .compress import encode_postings_batch
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -224,29 +268,60 @@ def _make_postings_builder(avgdl: float, k1: float, b: float, block_size: int):
                 columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
             )
         shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
-        uniq, starts = np.unique(terms, return_index=True)
-        starts = np.append(starts, len(terms))
-        out = {"shard": [], "term": [], "df": [], "docs": [], "tfs": [],
-               "dls": [], "blocks": []}
-        for i, term in enumerate(uniq):
-            s, e = starts[i], starts[i + 1]
-            d_b, t_b, l_b, blocks = encode_postings(
-                doc_ids[s:e], tfs[s:e], dls[s:e], avgdl,
-                k1=k1, b=b, block_size=block_size,
+        # explode the doc rows at C speed: one join+split over the whole
+        # group instead of per-row list handling (no Spark explode shuffle)
+        pdf = pdf[pdf["terms"] != ""]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
             )
-            out["shard"].append(shard)
-            out["term"].append(term)
-            out["df"].append(e - s)
-            out["docs"].append(d_b)
-            out["tfs"].append(t_b)
-            out["dls"].append(l_b)
-            out["blocks"].append(blocks)
-        return pd.DataFrame(out)
+        terms_s = pdf["terms"].tolist()
+        lens = np.fromiter(
+            (s.count("\n") + 1 for s in terms_s), dtype=np.int64, count=len(terms_s)
+        )
+        doc_rep = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        dl_rep = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
+        terms = np.array("\n".join(terms_s).split("\n"), dtype=object)
+        tfs = np.fromstring(",".join(pdf["tfs"].tolist()), dtype=np.int64, sep=",")
+        # sort by (term, doc_id) via integer codes (factorize >> string sort)
+        codes, uniq = pd.factorize(pd.Series(terms), sort=True)
+        order = np.lexsort((doc_rep, codes))
+        codes, doc_s = codes[order], doc_rep[order]
+        tf_s, dl_s = tfs[order], dl_rep[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(np.diff(codes))[0] + 1, [codes.size])
+        )
+        docs_col, tfs_col, dls_col, blocks_col = encode_postings_batch(
+            doc_s, tf_s, dl_s, starts, avgdl,
+            k1=k1, b=b, block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "shard": np.full(starts.size - 1, shard, dtype=np.int32),
+                "term": uniq[codes[starts[:-1]]],
+                "df": (starts[1:] - starts[:-1]).astype(np.int64),
+                "docs": docs_col,
+                "tfs": tfs_col,
+                "dls": dls_col,
+                "blocks": blocks_col,
+            }
+        )
+
+    return fn
+
+
+def _make_streaming_builder(avgdl, k1, b, block_size):
+    """mapInPandas wrapper: accumulate a task's batches (whole shard
+    files), then run the per-shard builder for each shard present."""
+    builder = _make_postings_builder(avgdl, k1, b, block_size)
+
+    def fn(batches):
+        acc = [pdf for pdf in batches if len(pdf)]
+        if not acc:
+            return
+        whole = pd.concat(acc, ignore_index=True)
+        for _shard, g in whole.groupby("shard", sort=False):
+            yield builder(g)
 
     return fn
 
@@ -258,27 +333,77 @@ def _stage_postings(
     if not pending:
         return
     t0 = time.time()
-    src = spark.read.parquet(_tok_path(index_dir)).filter(
-        F.col("shard").isin([int(s) for s in pending])
-    )
-    flat = (
-        src.select("shard", "doc_id", "doc_len", F.explode("terms").alias("t"))
-        .select("shard", "doc_id", "doc_len",
-                F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
-        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)))
-    )
-    built = flat.groupBy("shard", "tb").applyInPandas(
-        _make_postings_builder(stats["avgdl"], cfg.k1, cfg.b, cfg.block_size),
-        schema=POSTINGS_SCHEMA,
-    )
-    (
-        built.repartition("shard")
-        .sortWithinPartitions("shard", "term")
-        .write.partitionBy("shard")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(_postings_path(index_dir))
-    )
+    # shard == stage-1 partition => exactly one tok file per shard, so a
+    # scan whose tasks get WHOLE files needs no shuffle at all: each task
+    # streams its shard(s) straight from parquet into the builder. Spark
+    # only splits files larger than maxPartitionBytes; we pin it (and the
+    # packing cost) so small shard files are never split and rarely
+    # packed. A duplicate-(shard,term) guard below turns any violation of
+    # that assumption into a loud build failure rather than silent
+    # postings corruption.
+    tok_root = _tok_path(index_dir)
+    paths = [
+        os.path.join(tok_root, f"shard={int(s)}") for s in pending
+        if os.path.exists(os.path.join(tok_root, f"shard={int(s)}"))
+    ]
+    import sys
+
+    dbg = os.environ.get("SPARK_GRAFT_DEBUG")
+
+    def _dbg(msg, t):
+        if dbg:
+            print(f"[postings] {msg}: {time.time() - t:.1f}s", file=sys.stderr)
+
+    wall = 0
+    if paths:
+        conf = spark.conf
+        old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+        old_oc = conf.get("spark.sql.files.openCostInBytes")
+        conf.set("spark.sql.files.maxPartitionBytes", str(256 << 20))
+        conf.set("spark.sql.files.openCostInBytes", str(256 << 20))
+        try:
+            src = (
+                spark.read.option("basePath", tok_root)
+                .parquet(*paths)
+                .select("shard", "doc_id", "doc_len", "terms", "tfs")
+            )
+            built = src.mapInPandas(
+                _make_streaming_builder(
+                    stats["avgdl"], cfg.k1, cfg.b, cfg.block_size
+                ),
+                schema=POSTINGS_SCHEMA,
+            )
+            # builder emits term-sorted rows per shard; small row groups
+            # turn parquet term stats into the reference's term
+            # dictionary (tree.rs:116-125)
+            t1 = time.time()
+            (
+                built.write.partitionBy("shard")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("parquet.block.size", str(cfg.row_group_bytes))
+                .mode("overwrite")
+                .parquet(_postings_path(index_dir))
+            )
+            _dbg("write", t1)
+        finally:
+            conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            conf.set("spark.sql.files.openCostInBytes", old_oc)
+        t1 = time.time()
+        dup = (
+            spark.read.parquet(_postings_path(index_dir))
+            .filter(F.col("shard").isin([int(s) for s in pending]))
+            .groupBy("shard", "term")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        _dbg("dup-guard", t1)
+        if dup:
+            raise RuntimeError(
+                f"postings build produced {dup} duplicated (shard, term) "
+                "rows — a shard file was split across tasks; raise "
+                "maxPartitionBytes above the largest tok file size"
+            )
     wall = int((time.time() - t0) * 1000)
 
     # per-shard metrics from the committed files (cheap: metadata + two cols)
@@ -338,6 +463,9 @@ def build_index(
     are safely redone via dynamic partition overwrite.
     """
     cfg = cfg or BuildConfig()
+    from .session import warm_workers
+
+    warm_workers(spark)
     os.makedirs(index_dir, exist_ok=True)
     lineage = json.dumps(
         {"source": "transcripts", **cfg.extra_lineage}, sort_keys=True

@@ -30,11 +30,11 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (as uint64)."""
+def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode; also return each value's encoded byte length."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = varint_lengths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
@@ -47,7 +47,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = ((nbytes[mask] > b + 1).astype(np.uint8)) << 7
         out[idxs] = payload | cont
         shifted[mask] = shifted[mask] >> np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (as uint64)."""
+    return _varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes, expect: int | None = None) -> np.ndarray:
@@ -166,6 +171,97 @@ def decode_block_slice(
     tfs = varint_decode(tfs_bytes[t0:t1], count).astype(np.int64)
     dls = varint_decode(dls_bytes[l0:l1], count).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode MANY terms' postings in one vectorized pass.
+
+    Inputs are the whole shard's postings concatenated in (term, doc_id)
+    order; ``starts`` (len n_terms+1) marks each term's run. Produces
+    byte-identical output to per-term `encode_postings` but with O(1)
+    numpy calls for the shard instead of O(n_terms): the per-small-array
+    overhead of thousands of encode calls is what dominated the postings
+    stage under full executor concurrency.
+
+    Returns (docs_col, tfs_col, dls_col, blocks_col): per-term lists of
+    bytes / bytes / bytes / list-of-block-dicts.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n = doc_ids.size
+    nt = starts.size - 1
+    if n == 0:
+        return [], [], [], []
+
+    # per-term delta: first gap of a run is the absolute doc_id
+    prev = np.empty(n, dtype=np.int64)
+    prev[1:] = doc_ids[:-1]
+    prev[starts[:-1]] = 0
+    gaps = doc_ids - prev
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts[:-1]] = True
+    if (gaps[~is_start] <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a term")
+
+    docs_buf, d_len = _varint_encode_with_lengths(gaps.astype(np.uint64))
+    tfs_buf, t_len = _varint_encode_with_lengths(tfs.astype(np.uint64))
+    dls_buf, l_len = _varint_encode_with_lengths(dls.astype(np.uint64))
+    d_cum = np.concatenate(([0], np.cumsum(d_len)))
+    t_cum = np.concatenate(([0], np.cumsum(t_len)))
+    l_cum = np.concatenate(([0], np.cumsum(l_len)))
+
+    tfd = tfs.astype(np.float64)
+    norm = tfd / (tfd + k1 * (1.0 - b + b * dls / max(avgdl, 1e-12)))
+
+    # global block partition: per term, blocks of block_size postings.
+    # Consecutive blocks tile [0, n) exactly, so one reduceat per metric
+    # computes every block's max.
+    counts = starts[1:] - starts[:-1]
+    nblocks = -(-counts // block_size)
+    nblocks = np.maximum(nblocks, 0)
+    total_blocks = int(nblocks.sum())
+    term_of_block = np.repeat(np.arange(nt), nblocks)
+    nb_cum = np.concatenate(([0], np.cumsum(nblocks)))
+    blk_in_term = np.arange(total_blocks) - nb_cum[term_of_block]
+    bs = starts[term_of_block] + blk_in_term * block_size
+    be = np.minimum(bs + block_size, starts[term_of_block + 1])
+    max_tf_b = np.maximum.reduceat(tfs, bs) if total_blocks else np.zeros(0)
+    max_norm_b = np.maximum.reduceat(norm, bs) if total_blocks else np.zeros(0)
+    last_doc_b = doc_ids[be - 1] if total_blocks else np.zeros(0, dtype=np.int64)
+    doc_off_b = d_cum[bs] - d_cum[starts[term_of_block]]
+    tf_off_b = t_cum[bs] - t_cum[starts[term_of_block]]
+    dl_off_b = l_cum[bs] - l_cum[starts[term_of_block]]
+
+    docs_col, tfs_col, dls_col, blocks_col = [], [], [], []
+    for i in range(nt):
+        s, e = starts[i], starts[i + 1]
+        docs_col.append(docs_buf[d_cum[s]: d_cum[e]])
+        tfs_col.append(tfs_buf[t_cum[s]: t_cum[e]])
+        dls_col.append(dls_buf[l_cum[s]: l_cum[e]])
+        blocks = [
+            {
+                "last_doc_id": int(last_doc_b[j]),
+                "max_tf": int(max_tf_b[j]),
+                "max_norm": float(max_norm_b[j]),
+                "doc_off": int(doc_off_b[j]),
+                "tf_off": int(tf_off_b[j]),
+                "dl_off": int(dl_off_b[j]),
+            }
+            for j in range(nb_cum[i], nb_cum[i + 1])
+        ]
+        blocks_col.append(blocks)
+    return docs_col, tfs_col, dls_col, blocks_col
 
 
 def decode_postings(docs_bytes: bytes, tfs_bytes: bytes, dls_bytes: bytes, n: int):

@@ -109,9 +109,16 @@ def _make_pruned_scorer(idf: dict[str, float], k1, b, avgdl, k, block_size):
     exact score >= the next upper bound, the rest are skipped without
     decoding."""
 
+    # below this many candidate postings in a shard, the vectorized
+    # exhaustive path beats the segment loop's per-segment Python overhead
+    SMALL_SHARD = 200_000
+    exhaustive = _make_exhaustive_scorer(idf, k1, b, avgdl, k, "bm25")
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
+        if int(pdf["df"].sum()) < SMALL_SHARD:
+            return exhaustive(pdf)
         pdf = pdf.sort_values("term", kind="stable")
         terms = []
         for row in pdf.itertuples():
@@ -192,6 +199,9 @@ class IndexReader:
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         self._df_cache: dict[str, int] = {}
+        from .session import warm_workers
+
+        warm_workers(spark)
 
     # -- metadata lookups ------------------------------------------------
 
@@ -251,12 +261,15 @@ class IndexReader:
             scorer = _make_pruned_scorer(
                 idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"]
             )
+            cols = ["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
         else:
             scorer = _make_exhaustive_scorer(
                 idf, st["k1"], st["b"], st["avgdl"], k, "bm25"
             )
+            cols = ["shard", "term", "df", "docs", "tfs", "dls"]
         scored = (
             self._postings_for(present)
+            .select(*cols)  # prune unused streams at the parquet scan
             .groupBy("shard")
             .applyInPandas(scorer, schema=_SCORE_SCHEMA)
         )
@@ -284,6 +297,7 @@ class IndexReader:
         scorer = _make_exhaustive_scorer(weights, 0, 0, 1.0, kk, "tfidf")
         scored = (
             self._postings_for(present)
+            .select("shard", "term", "df", "docs", "tfs", "dls")
             .groupBy("shard")
             .applyInPandas(scorer, schema=_SCORE_SCHEMA)
         )

@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # postings/tok files are a few MB each; smaller scan partitions
+        # keep term-filtered postings scans parallel instead of packing
+        # the whole table into one task
+        .config("spark.sql.files.maxPartitionBytes", str(32 << 20))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -47,3 +51,31 @@ def get_spark(
 
         spark.sparkContext.addPyFile(make_pyfiles_zip())
     return spark
+
+
+_WARMED: set[str] = set()
+
+
+def warm_workers(spark: SparkSession) -> None:
+    """One tiny mapInPandas job that touches every Python worker: imports
+    numpy/pandas + our UDF modules and exercises the Arrow path, so the
+    first real stage doesn't pay ~10s+ of per-worker import/JIT tax.
+    Idempotent per session; irrelevant at cluster scale but a large
+    relative win for short local runs."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    cores = spark.sparkContext.defaultParallelism
+
+    def warm(batches):
+        import numpy as np  # noqa: F401
+        import pandas as pd_
+
+        from . import compress, lexer  # noqa: F401
+
+        lexer.tokenize("warming up the stemmer cache")
+        for pdf in batches:
+            yield pd_.DataFrame({"x": pdf["id"][:1]})
+
+    spark.range(0, cores * 2, 1, cores * 2).mapInPandas(warm, "x long").count()

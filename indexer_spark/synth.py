@@ -158,6 +158,98 @@ def gen_queries(seed: int = 42, vocab_size: int = 2000) -> list[tuple[int, str, 
     return [(i, q, 10) for i, q in enumerate(queries)]
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic stateless 64-bit mix (public-domain splitmix64)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def transcripts_spark(
+    spark,
+    n_turns: int,
+    seed: int = 42,
+    vocab_size: int = 2000,
+    mean_turn_len: int = 40,
+    turns_per_conv: int = 16,
+    num_partitions: int | None = None,
+):
+    """Distributed deterministic transcripts synthesis (the scale path).
+
+    Every cell is a pure function of the global turn id via splitmix64, so
+    the corpus is identical under ANY partitioning/parallelism — which is
+    what lets the scaling bench feed byte-identical input to local[8] and
+    local[32]. Driver does no per-row work (spark.range -> mapInPandas)."""
+    import pandas as pd_  # noqa: F401  (kept local for executors)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    vocab = np.array(make_vocab(vocab_size, seed) + list(ADVERSARIAL))
+    probs = _zipf_probs(len(vocab))
+    cum = np.cumsum(probs)
+    cum[-1] = 1.0
+    roles = np.array(["user", "assistant", "system", "tool"])
+    tools = TOOLS
+    base_ts = np.datetime64("2026-01-01T00:00:00")
+    sd = np.uint64(seed)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            n = ids.size
+            conv = (ids // turns_per_conv).astype(np.int64)
+            turn = (ids % turns_per_conv).astype(np.int32)
+            h0 = _splitmix64(ids * np.uint64(1000003) + sd)
+            lens = (5 + (h0 % np.uint64(2 * mean_turn_len - 5))).astype(np.int64)
+            empty = (_splitmix64(h0) % np.uint64(1000)) < 5
+            lens[empty] = 0
+            role_ix = (_splitmix64(h0 + np.uint64(7)) % np.uint64(4)).astype(np.int64)
+            role_ix[turn == 0] = 0
+            total = int(lens.sum())
+            # word draws: hash(id, j) -> uniform -> Zipf via searchsorted
+            doc_of = np.repeat(np.arange(n), lens)
+            j_of = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            hw = _splitmix64(
+                ids[doc_of] * np.uint64(0x51_7C_C1B7) + np.uint64(17) * j_of.astype(np.uint64) + sd
+            )
+            u = hw.astype(np.float64) / 2**64
+            widx = np.searchsorted(cum, u, side="right")
+            words = vocab[np.clip(widx, 0, len(vocab) - 1)]
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            texts = [
+                " ".join(words[bounds[i]: bounds[i + 1]]) for i in range(n)
+            ]
+            rl = roles[role_ix]
+            tool = np.where(
+                rl == "tool",
+                tools[(_splitmix64(h0 + np.uint64(13)) % np.uint64(len(tools))).astype(np.int64)],
+                None,
+            )
+            ts = base_ts + ids.astype("timedelta64[s]")
+            # few unique convs per batch -> format each once, broadcast back
+            uconv, inv = np.unique(conv, return_inverse=True)
+            conv_strs = np.array([f"conv_{c:010d}" for c in uconv])[inv]
+            yield pd_.DataFrame(
+                {
+                    "conv_id": conv_strs,
+                    "turn_idx": turn,
+                    "role": rl,
+                    "text": texts,
+                    "tool": tool,
+                    "ts": ts.astype("datetime64[us]"),
+                }
+            )
+
+    df = spark.range(0, n_turns, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return df.mapInPandas(
+        gen,
+        schema="conv_id string, turn_idx int, role string, text string, "
+               "tool string, ts timestamp",
+    )
+
+
 def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> pd.DataFrame:
     """Write the corpus as a single parquet file (pyarrow); returns the pdf."""
     import pyarrow as pa

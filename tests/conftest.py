@@ -44,7 +44,7 @@ def built_index(spark, corpus_pdf, tmp_path_factory):
 
     index_dir = str(tmp_path_factory.mktemp("index"))
     sdf = spark.createDataFrame(corpus_pdf)
-    cfg = BuildConfig(shard_docs=512, block_size=64, term_buckets=4,
+    cfg = BuildConfig(shard_docs=512, block_size=64,
                       id_partitions=6)
     stats = build_index(spark, sdf, index_dir, cfg)
     return index_dir, stats

@@ -121,6 +121,38 @@ def test_block_slice_decode(data):
     assert list(rdl) == dls[s:e]
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 10**6), min_size=1, max_size=60, unique=True),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_encode_equals_per_term(term_runs):
+    """encode_postings_batch must be byte-identical to per-term encode."""
+    from indexer_spark.compress import encode_postings_batch
+
+    runs = [sorted(ids) for (ids,) in term_runs]
+    all_ids = np.concatenate([np.array(r, dtype=np.int64) for r in runs])
+    tfs = (all_ids % 9 + 1).astype(np.int64)
+    dls = (all_ids % 73).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum([len(r) for r in runs])))
+    avgdl, bs = 37.5, 16
+    d_col, t_col, l_col, b_col = encode_postings_batch(
+        all_ids, tfs, dls, starts, avgdl, block_size=bs
+    )
+    for i in range(len(runs)):
+        s, e = starts[i], starts[i + 1]
+        d, t, l, blocks = encode_postings(
+            all_ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size=bs
+        )
+        assert d_col[i] == d and t_col[i] == t and l_col[i] == l
+        assert b_col[i] == blocks
+
+
 def test_unsorted_doc_ids_rejected():
     import pytest
 

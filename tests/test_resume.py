@@ -16,7 +16,7 @@ from indexer_spark.build import (
 from indexer_spark.query import IndexReader
 from indexer_spark.synth import gen_transcripts
 
-CFG = dict(shard_docs=256, block_size=32, term_buckets=2, id_partitions=4)
+CFG = dict(shard_docs=256, block_size=32, id_partitions=4)
 
 
 @pytest.fixture(scope="module")

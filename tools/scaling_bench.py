@@ -1,0 +1,98 @@
+"""Two-parallelism scaling bench -> BENCH/BASELINE.md.
+
+The north_rule's two-cluster-size criterion (N vs 4N executors, >=0.8
+throughput scaling efficiency) cannot use a real cluster in this sandbox;
+per the task brief it is evidenced by running the SAME job on the SAME
+input at local[8] and local[32] and reporting throughput at both plus
+efficiency = (T_8 / T_32) / 4.
+
+Each level runs bench.py in a fresh subprocess (own JVM) with a pinned
+corpus size, so the input is byte-identical (transcripts_spark is a pure
+function of turn id) and nothing leaks between levels.
+
+Usage: python tools/scaling_bench.py [n_turns] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_level(cpus: int, n_turns: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_TURNS=str(n_turns),
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench at local[{cpus}] failed:\n{proc.stderr[-3000:]}")
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    out["wall_total"] = round(time.time() - t0, 1)
+    return out
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(__file__), "..", "BENCH", "BASELINE.md"
+    )
+    levels = {}
+    base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "2"))
+    for cpus in (base, 4 * base):
+        print(f"=== local[{cpus}] / {n_turns} turns ===", file=sys.stderr)
+        levels[cpus] = run_level(cpus, n_turns)
+        print(json.dumps(levels[cpus]), file=sys.stderr)
+
+    lo, hi = base, 4 * base
+    tp8 = levels[lo]["turns_per_sec"]
+    tp32 = levels[hi]["turns_per_sec"]
+    eff = tp32 / (4 * tp8)
+    b8, b32 = levels[lo]["queries"], levels[hi]["queries"]
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_md)), exist_ok=True)
+    with open(out_md, "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-parallelism scaling run
+
+Same deterministic input ({n_turns:,} transcript turns, seed 42,
+`transcripts_spark` — a pure function of turn id, so byte-identical at any
+parallelism), same build config, fresh JVM per level. local[{lo}] vs
+local[{hi}] is the sandbox proxy for N vs 4N executors (task brief /
+BASELINE.json north_rule).
+
+| metric | local[{lo}] (N) | local[{hi}] (4N) |
+|---|---|---|
+| index build wall (s) | {b8['build']} | {b32['build']} |
+| **index build throughput (turns/s)** | **{tp8:,.0f}** | **{tp32:,.0f}** |
+| corpus synth wall (s) | {b8['synth']} | {b32['synth']} |
+| BM25 top-10 p50 (s, warm) | {b8['bm25_p50']} | {b32['bm25_p50']} |
+| BM25 top-10 p95 (s, warm) | {b8['bm25_p95']} | {b32['bm25_p95']} |
+| TF-IDF query (s) | {b8['tfidf']} | {b32['tfidf']} |
+| shards | {levels[lo]['n_shards']} | {levels[hi]['n_shards']} |
+
+**Scaling efficiency (build throughput, N -> 4N): {eff:.3f}**
+(target >= 0.8 per north_rule; efficiency = throughput_4N/(4*throughput_N) on identical input)
+
+Raw bench JSON:
+
+```json
+{json.dumps(levels[lo])}
+{json.dumps(levels[hi])}
+```
+""")
+    print(f"efficiency={eff:.3f} -> {out_md}")
+    return 0 if eff >= 0.0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
