@@ -63,6 +63,11 @@ def main():
         log(f"synth: {n_turns} turns in {timings['synth']}s")
         sdf = spark.read.parquet(corpus_dir)
 
+        # session prep, not build work: absorb worker import/JIT tax here
+        from indexer_spark.session import warm_workers
+
+        warm_workers(spark)
+
         # fixed shard count regardless of cpus: the scaling bench compares
         # the SAME physical plan at two parallelism levels
         n_shards = int(os.environ.get("SPARK_GRAFT_SHARDS", "32"))

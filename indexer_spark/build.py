@@ -127,7 +127,7 @@ def _write_stats(index_dir: str, stats: dict) -> None:
 # stage "ids": deterministic dense doc ids + tokenize -> forward index
 # --------------------------------------------------------------------------
 
-def _make_tokenizer(offsets: dict[int, int]):
+def _make_tokenizer(offsets: dict[int, int], shard_base: int = 0):
     """mapInPandas fn: assign doc_ids from partition offsets + tokenize.
 
     Runs once per partition (iterator of Arrow batches); the partition's
@@ -148,8 +148,9 @@ def _make_tokenizer(offsets: dict[int, int]):
             if len(pdf) == 0:
                 continue
             if base is None:
-                shard = int(pdf["pid"].iloc[0])
-                base = offsets[shard]
+                pid = int(pdf["pid"].iloc[0])
+                base = offsets[pid]
+                shard = shard_base + pid
             n = len(pdf)
             doc_ids = base + local + np.arange(n, dtype=np.int64)
             local += n
@@ -234,6 +235,7 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     avgdl = (agg["total_len"] or 0) / n_docs if n_docs else 0.0
     stats = {
         "n_docs": int(n_docs),
+        "total_len": int(agg["total_len"] or 0),
         "avgdl": float(avgdl),
         "block_size": cfg.block_size,
         "k1": cfg.k1,
@@ -388,38 +390,38 @@ def _stage_postings(
         finally:
             conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
             conf.set("spark.sql.files.openCostInBytes", old_oc)
-        t1 = time.time()
-        dup = (
-            spark.read.parquet(_postings_path(index_dir))
-            .filter(F.col("shard").isin([int(s) for s in pending]))
-            .groupBy("shard", "term")
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        _dbg("dup-guard", t1)
-        if dup:
-            raise RuntimeError(
-                f"postings build produced {dup} duplicated (shard, term) "
-                "rows — a shard file was split across tasks; raise "
-                "maxPartitionBytes above the largest tok file size"
-            )
     wall = int((time.time() - t0) * 1000)
 
-    # per-shard metrics from the committed files (cheap: metadata + two cols)
-    m = (
+    # per-shard metrics + duplicate-(shard,term) guard in ONE pass over the
+    # committed files (cheap: metadata + the two binary-length columns)
+    t1 = time.time()
+    per_term = (
         spark.read.parquet(_postings_path(index_dir))
         .filter(F.col("shard").isin([int(s) for s in pending]))
-        .groupBy("shard")
+        .groupBy("shard", "term")
         .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
+            F.count("*").alias("c"),
+            F.sum("df").alias("sdf"),
             F.sum(
                 F.length("docs") + F.length("tfs") + F.length("dls")
-            ).alias("n_bytes"),
+            ).alias("sb"),
         )
     )
+    m = per_term.groupBy("shard").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("sdf").alias("n_postings"),
+        F.sum("sb").alias("n_bytes"),
+        F.max("c").alias("max_dup"),
+    )
     metrics = {r["shard"]: r for r in m.collect()}
+    _dbg("metrics+guard", t1)
+    dup = sum(1 for r in metrics.values() if r["max_dup"] > 1)
+    if dup:
+        raise RuntimeError(
+            f"postings build produced duplicated (shard, term) rows in "
+            f"{dup} shards — a shard file was split across tasks; raise "
+            "maxPartitionBytes above the largest tok file size"
+        )
     now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     rows = []
     for s in pending:
@@ -429,6 +431,10 @@ def _stage_postings(
             "n_terms": int(r["n_terms"]) if r else 0,
             "n_postings": int(r["n_postings"]) if r else 0,
             "n_bytes": int(r["n_bytes"]) if r else 0,
+            # avgdl the block max_norms were computed with: the pruned
+            # scorer must rescale its upper bounds if the corpus avgdl
+            # later drifts upward (see IndexReader/_make_pruned_scorer)
+            "avgdl_build": float(stats["avgdl"]),
             "lineage": lineage, "wall_ms": wall, "finished_at": now,
         })
     _append_manifest(index_dir, rows)
@@ -494,6 +500,108 @@ def build_index(
     _stage_postings(spark, index_dir, cfg, stats, pending, lineage)
     _stage_term_stats(spark, index_dir)
     return stats
+
+
+def append_index(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    batch_label: str = "append",
+) -> dict:
+    """Incrementally index an append-only batch of new turns.
+
+    The Spark-native upgrade of the reference's freshness check
+    (lib.rs:210-224: re-index only what changed): new docs get dense ids
+    continuing from the current N, land in NEW shards (old shards are
+    immutable, like the reference's flushed segments), and global stats
+    (N, total_len, avgdl) plus term_stats are refreshed. Queries across
+    old+new shards stay exact: each shard's manifest records the avgdl
+    its block maxima were built with, and the pruned scorer rescales
+    upper bounds when the corpus avgdl has drifted (safe:
+    norm(a_new)/norm(a_old) < a_new/a_old for a_new > a_old).
+
+    Crash-safe: stats.json and term_stats are only updated after the new
+    shards' postings are committed; a re-run of the same batch is
+    idempotent (same doc ids, same shard slots, dynamic overwrite).
+    """
+    cfg = cfg or BuildConfig()
+    from .session import warm_workers
+
+    warm_workers(spark)
+    stats = read_stats(index_dir)
+    base_docs, base_shards = stats["n_docs"], stats["n_shards"]
+    lineage = json.dumps(
+        {"source": "transcripts", "batch": batch_label, **cfg.extra_lineage},
+        sort_keys=True,
+    )
+
+    t0 = time.time()
+    if cfg.id_partitions:
+        p = cfg.id_partitions
+    else:
+        n_est = new_transcripts.count()
+        p = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(max(n_est, 1) / cfg.shard_docs),
+        )
+    parted = (
+        new_transcripts.repartitionByRange(p, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    parted.persist()
+    try:
+        counts = {r["pid"]: r["count"] for r in parted.groupBy("pid").count().collect()}
+        offsets, acc = {}, base_docs
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        tok = parted.mapInPandas(
+            _make_tokenizer(offsets, shard_base=base_shards), schema=TOK_SCHEMA
+        )
+        (
+            tok.write.partitionBy("shard")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(_tok_path(index_dir))
+        )
+    finally:
+        parted.unpersist()
+
+    new_shards = list(range(base_shards, base_shards + p))
+    agg = (
+        spark.read.parquet(_tok_path(index_dir))
+        .filter(F.col("shard").isin(new_shards))
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("total_len"))
+        .collect()[0]
+    )
+    n_new = int(agg["n"])
+    assert n_new == acc - base_docs, "appended doc count mismatch"
+    new_stats = dict(stats)
+    new_stats["n_docs"] = base_docs + n_new
+    new_stats["total_len"] = stats.get(
+        "total_len", int(round(stats["avgdl"] * base_docs))
+    ) + int(agg["total_len"] or 0)
+    new_stats["avgdl"] = (
+        new_stats["total_len"] / new_stats["n_docs"] if new_stats["n_docs"] else 0.0
+    )
+    new_stats["n_shards"] = base_shards + p
+
+    _append_manifest(
+        index_dir,
+        [{
+            "stage": "ids", "shard": -1, "status": "done",
+            "n_terms": 0, "n_postings": n_new, "n_bytes": 0,
+            "lineage": lineage, "wall_ms": int((time.time() - t0) * 1000),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }],
+    )
+    # new shards' blocks use the NEW global avgdl (recorded per shard)
+    _stage_postings(spark, index_dir, cfg, new_stats, new_shards, lineage)
+    _write_stats(index_dir, new_stats)
+    _stage_term_stats(spark, index_dir)
+    return new_stats
 
 
 def docstore(spark: SparkSession, index_dir: str) -> DataFrame:

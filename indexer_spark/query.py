@@ -34,11 +34,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .build import _postings_path, _term_stats_path, docstore, read_stats
+from .build import (
+    _postings_path,
+    _term_stats_path,
+    docstore,
+    read_manifest,
+    read_stats,
+)
 from .compress import decode_block_slice, decode_postings
 from .lexer import tokenize
 
 _SCORE_SCHEMA = "doc_id long, score double"
+
+# below this many candidate postings in a shard, the vectorized exhaustive
+# path beats the segment loop's per-segment Python overhead (tests lower it
+# to force the pruning path on small fixtures)
+SMALL_SHARD_THRESHOLD = 200_000
 
 
 def _bm25_idf(n: int, df: int) -> float:
@@ -99,7 +110,10 @@ def _make_exhaustive_scorer(weights: dict[str, float], k1, b, avgdl, k, kind):
     return fn
 
 
-def _make_pruned_scorer(idf: dict[str, float], k1, b, avgdl, k, block_size):
+def _make_pruned_scorer(
+    idf: dict[str, float], k1, b, avgdl, k, block_size,
+    shard_ub_scale: dict[int, float] | None = None,
+):
     """Block-max safe pruning (BM25 only), segment-at-a-time.
 
     Segments are doc_id ranges delimited by the union of all query terms'
@@ -107,18 +121,24 @@ def _make_pruned_scorer(idf: dict[str, float], k1, b, avgdl, k, block_size):
     sum_t idf_t*(k1+1)*max_norm(block_t covering segment). Segments are
     scored exactly in descending upper-bound order; once the k-th best
     exact score >= the next upper bound, the rest are skipped without
-    decoding."""
+    decoding.
 
-    # below this many candidate postings in a shard, the vectorized
-    # exhaustive path beats the segment loop's per-segment Python overhead
-    SMALL_SHARD = 200_000
+    ``shard_ub_scale`` handles appended indexes: a shard built when the
+    corpus avgdl was smaller has stored max_norms that can under-estimate
+    today's norms; scaling its upper bounds by avgdl_now/avgdl_build
+    restores safety (norm(a_now)/norm(a_build) < a_now/a_build)."""
+
+    small_shard = SMALL_SHARD_THRESHOLD  # captured at scorer creation
     exhaustive = _make_exhaustive_scorer(idf, k1, b, avgdl, k, "bm25")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
-        if int(pdf["df"].sum()) < SMALL_SHARD:
+        if int(pdf["df"].sum()) < small_shard:
             return exhaustive(pdf)
+        ub_scale = 1.0
+        if shard_ub_scale:
+            ub_scale = shard_ub_scale.get(int(pdf["shard"].iloc[0]), 1.0)
         pdf = pdf.sort_values("term", kind="stable")
         terms = []
         for row in pdf.itertuples():
@@ -128,7 +148,8 @@ def _make_pruned_scorer(idf: dict[str, float], k1, b, avgdl, k, block_size):
             terms.append({
                 "term": row.term, "df": int(row.df), "docs": row.docs,
                 "tfs": row.tfs, "dls": row.dls, "blocks": blocks,
-                "lasts": lasts, "ub": idf[row.term] * (k1 + 1.0) * norms,
+                "lasts": lasts,
+                "ub": idf[row.term] * (k1 + 1.0) * np.minimum(norms * ub_scale, 1.0),
                 "w": idf[row.term], "cache": {},
             })
 
@@ -199,6 +220,15 @@ class IndexReader:
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         self._df_cache: dict[str, int] = {}
+        # shard -> upper-bound rescale for appended indexes whose avgdl
+        # drifted upward since a shard's block maxima were computed
+        avgdl_now = self.stats["avgdl"]
+        self._ub_scale: dict[int, float] = {}
+        for r in read_manifest(index_dir):
+            if r["stage"] == "postings" and "avgdl_build" in r:
+                ab = r["avgdl_build"]
+                if ab > 0 and avgdl_now > ab:
+                    self._ub_scale[r["shard"]] = avgdl_now / ab
         from .session import warm_workers
 
         warm_workers(spark)
@@ -259,7 +289,8 @@ class IndexReader:
         st = self.stats
         if mode == "pruned":
             scorer = _make_pruned_scorer(
-                idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"]
+                idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"],
+                shard_ub_scale=self._ub_scale or None,
             )
             cols = ["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
         else:

@@ -1,0 +1,158 @@
+"""Incremental append + Structured Streaming maintenance tests."""
+
+import math
+import os
+
+import pytest
+
+import indexer_spark.query as Q
+from indexer_spark.build import (
+    BuildConfig,
+    append_index,
+    build_index,
+    read_manifest,
+    read_stats,
+)
+from indexer_spark.oracle import OracleIndex
+from indexer_spark.query import IndexReader
+from indexer_spark.synth import gen_transcripts
+
+CFG = dict(block_size=32, id_partitions=3)
+
+
+def _batches(spark):
+    # batch B has much longer docs -> global avgdl rises after append,
+    # exercising the pruned scorer's upper-bound rescale
+    a = gen_transcripts(800, seed=21, mean_turn_len=20)
+    b = gen_transcripts(600, seed=22, mean_turn_len=120)
+    b["conv_id"] = "zz_" + b["conv_id"]  # appended convs sort after batch A
+    return a, b
+
+
+def _oracle_for(a, b=None):
+    docs = []
+    sa = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    docs.extend(sa["text"].tolist())
+    if b is not None:
+        sb = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        docs.extend(sb["text"].tolist())
+    return OracleIndex(list(enumerate(docs)))
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark, tmp_path_factory):
+    a, b = _batches(spark)
+    d = str(tmp_path_factory.mktemp("appended"))
+    build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+    stats0 = read_stats(d)
+    stats1 = append_index(spark, spark.createDataFrame(b), d, BuildConfig(**CFG))
+    return d, a, b, stats0, stats1
+
+
+def test_append_stats_and_manifest(appended_index):
+    d, a, b, stats0, stats1 = appended_index
+    assert stats0["n_docs"] == 800 and stats1["n_docs"] == 1400
+    assert stats1["avgdl"] > stats0["avgdl"]  # batch B is longer
+    assert stats1["n_shards"] == stats0["n_shards"] + 3
+    m = read_manifest(d)
+    post = [r for r in m if r["stage"] == "postings"]
+    assert {r["shard"] for r in post} == set(range(6))
+    # new shards record the new avgdl; old shards the old one
+    assert all(
+        math.isclose(r["avgdl_build"], stats1["avgdl"]) for r in post if r["shard"] >= 3
+    )
+    assert all(
+        math.isclose(r["avgdl_build"], stats0["avgdl"]) for r in post if r["shard"] < 3
+    )
+
+
+def test_append_matches_oracle(spark, appended_index):
+    d, a, b, _s0, _s1 = appended_index
+    oracle = _oracle_for(a, b)
+    reader = IndexReader(spark, d)
+    assert reader._ub_scale  # old shards need rescaling (avgdl rose)
+    for q in ["run dog", "don't", "3.14", "fast table"]:
+        want = oracle.search_bm25(q, 10)
+        got = reader.search(q, 10, mode="exhaustive")
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for g, w in zip(got, want):
+            assert math.isclose(g[1], w[1], rel_tol=1e-9)
+
+
+def test_append_pruned_safe_after_avgdl_drift(spark, appended_index, monkeypatch):
+    """Force the segment-pruning path (threshold 0) on an index whose
+    avgdl rose after build: the ub rescale must keep pruning exact."""
+    d, a, b, _s0, _s1 = appended_index
+    monkeypatch.setattr(Q, "SMALL_SHARD_THRESHOLD", 0)
+    reader = IndexReader(spark, d)
+    oracle = _oracle_for(a, b)
+    for q in ["run dog", "fast table", "don't"]:
+        want = [x[0] for x in oracle.search_bm25(q, 10)]
+        got = [x[0] for x in reader.search(q, 10, mode="pruned")]
+        assert got == want, q
+
+
+def test_append_is_idempotent_before_stats_commit(spark, tmp_path):
+    """Re-running a batch whose stats.json never committed must yield the
+    same final state (crash-replay safety)."""
+    a, b = _batches(spark)
+    d1, d2 = str(tmp_path / "one"), str(tmp_path / "two")
+    for d in (d1, d2):
+        build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+    append_index(spark, spark.createDataFrame(b), d1, BuildConfig(**CFG))
+    # d2: simulate crash-after-postings-before-stats by appending twice
+    # with a manual stats rollback in between
+    import json
+    import shutil
+
+    stats_path = os.path.join(d2, "stats.json")
+    pre = open(stats_path).read()
+    append_index(spark, spark.createDataFrame(b), d2, BuildConfig(**CFG))
+    with open(stats_path, "w") as f:
+        f.write(pre)  # roll back stats (as if the crash hit before commit)
+    shutil.rmtree(os.path.join(d2, "manifest.jsonl"), ignore_errors=True)
+    # manifest rollback: drop the append's rows
+    m = [r for r in read_manifest(d2) if r["shard"] < 3 and r["stage"] == "postings"
+         or (r["stage"] == "ids" and "append" not in r["lineage"])]
+    with open(os.path.join(d2, "manifest.jsonl"), "w") as f:
+        for r in m:
+            f.write(json.dumps(r) + "\n")
+    append_index(spark, spark.createDataFrame(b), d2, BuildConfig(**CFG))
+
+    r1, r2 = IndexReader(spark, d1), IndexReader(spark, d2)
+    assert read_stats(d1)["n_docs"] == read_stats(d2)["n_docs"] == 1400
+    for q in ["run dog", "fast"]:
+        assert r1.search(q, 10) == r2.search(q, 10)
+
+
+def test_streaming_maintenance(spark, tmp_path):
+    """Two parquet drops consumed by a streaming query via foreachBatch
+    append: the final index equals the batch-built equivalent."""
+    from indexer_spark.streaming import stream_index
+
+    a, b = _batches(spark)
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    d = str(tmp_path / "sidx")
+    # seed index with batch A, stream batch B in (one-batch stream)
+    build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ).parquet(src_dir)
+    )
+    q = stream_index(
+        spark, stream, d, BuildConfig(**CFG),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert read_stats(d)["n_docs"] == 1400
+
+    oracle = _oracle_for(a, b)
+    reader = IndexReader(spark, d)
+    for qq in ["run dog", "fast table"]:
+        want = [x[0] for x in oracle.search_bm25(qq, 10)]
+        got = [x[0] for x in reader.search(qq, 10)]
+        assert got == want, qq
