@@ -99,7 +99,22 @@ def main():
         t0 = time.time()
         reader.search_tfidf(queries[2], 10)
         timings["tfidf"] = round(time.time() - t0, 3)
-        log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s")
+
+        # warm query-service mode: postings cached in executor memory
+        cached_reader = IndexReader(spark, index_dir, cache_postings=True)
+        cached_reader.search(queries[0], 10)  # populate the cache
+        clat = []
+        for q in queries:
+            t0 = time.time()
+            cached_reader.search(q, 10, mode="pruned")
+            clat.append(time.time() - t0)
+        clat.sort()
+        timings["bm25_cached_p50"] = round(clat[len(clat) // 2], 3)
+        timings["bm25_cached_p95"] = round(
+            clat[min(len(clat) - 1, int(0.95 * len(clat)))], 3
+        )
+        log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s "
+            f"cached p50={timings['bm25_cached_p50']}s")
 
         total = round(timings["build"] + timings["bm25_warm_total"], 3)
         out = {

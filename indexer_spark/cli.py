@@ -1,0 +1,138 @@
+"""spark-submit entrypoints: build / append / query / synth.
+
+Usage (north_rule deployment shape — the package zip travels via
+--py-files, so executors can unpickle every UDF):
+
+  python -m indexer_spark.packaging            # -> /tmp/indexer_spark_pyfiles.zip
+  spark-submit --py-files /tmp/indexer_spark_pyfiles.zip \\
+      cli.py build  --input <parquet/iceberg path> --index <dir> [--shard-docs N]
+  spark-submit ... cli.py append --input <path> --index <dir>
+  spark-submit ... cli.py query  --index <dir> --query "..." [--k 10] [--mode pruned]
+  spark-submit ... cli.py synth  --turns 1000000 --out <dir>
+
+Under spark-submit the session already exists; `get_session()` picks it
+up (and still addPyFiles when running plain `python -m indexer_spark.cli`
+for local smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def get_session(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from .session import get_spark
+
+    return get_spark(cores=args.cores, app_name="indexer_spark_cli")
+
+
+def cmd_build(args):
+    from .build import BuildConfig, build_index
+
+    spark = get_session(args)
+    src = spark.read.parquet(args.input)
+    cfg = BuildConfig(
+        shard_docs=args.shard_docs,
+        block_size=args.block_size,
+        extra_lineage={"input": args.input},
+    )
+    t0 = time.time()
+    stats = build_index(spark, src, args.index, cfg, resume=args.resume)
+    print(json.dumps({"ok": True, "wall_sec": round(time.time() - t0, 2), **stats}))
+
+
+def cmd_append(args):
+    from .build import BuildConfig, append_index
+
+    spark = get_session(args)
+    src = spark.read.parquet(args.input)
+    cfg = BuildConfig(shard_docs=args.shard_docs, block_size=args.block_size,
+                      extra_lineage={"input": args.input})
+    t0 = time.time()
+    stats = append_index(spark, src, args.index, cfg)
+    print(json.dumps({"ok": True, "wall_sec": round(time.time() - t0, 2), **stats}))
+
+
+def cmd_query(args):
+    from .query import IndexReader
+
+    spark = get_session(args)
+    reader = IndexReader(spark, args.index)
+    t0 = time.time()
+    if args.tfidf:
+        hits = reader.search_tfidf(args.query, args.k)
+    else:
+        hits = reader.search(args.query, args.k, mode=args.mode)
+    wall = round(time.time() - t0, 3)
+    resolved = reader.resolve(hits).collect() if hits else []
+    print(json.dumps({
+        "query": args.query, "k": args.k, "wall_sec": wall,
+        "hits": [
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+             "doc_id": r["doc_id"], "score": r["score"]}
+            for r in resolved
+        ],
+    }))
+
+
+def cmd_synth(args):
+    from .synth import transcripts_spark
+
+    spark = get_session(args)
+    t0 = time.time()
+    transcripts_spark(spark, args.turns, seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(json.dumps({"ok": True, "turns": args.turns,
+                      "wall_sec": round(time.time() - t0, 2), "out": args.out}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="indexer_spark")
+    p.add_argument("--cores", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shard-docs", type=int, default=1 << 16)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("append")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--shard-docs", type=int, default=1 << 16)
+    a.add_argument("--block-size", type=int, default=128)
+    a.set_defaults(fn=cmd_append)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["pruned", "exhaustive"], default="pruned")
+    q.add_argument("--tfidf", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--turns", type=int, required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

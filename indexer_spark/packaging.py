@@ -33,3 +33,7 @@ def make_pyfiles_zip(dest: str | None = None) -> str:
                 zf.write(full, rel)
     os.replace(tmp, dest)
     return dest
+
+
+if __name__ == "__main__":
+    print(make_pyfiles_zip())

@@ -215,11 +215,23 @@ class IndexReader:
     """Query handle over an index directory (MainIndex analog,
     tree.rs:251-265 — but stateless: all state is in tables + stats)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_postings: bool = False):
+        """``cache_postings`` persists the postings table in executor
+        memory (Spark's columnar cache, LRU-evicted) for a warm query
+        service: repeated queries skip parquet IO at the cost of losing
+        scan-time pushdown (the in-memory filter is still columnar). At
+        10^12 scale you cache the hot subset the same way — eviction
+        keeps it bounded."""
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         self._df_cache: dict[str, int] = {}
+        self._cached_postings = None
+        if cache_postings:
+            self._cached_postings = spark.read.parquet(
+                _postings_path(index_dir)
+            ).persist()
         # shard -> upper-bound rescale for appended indexes whose avgdl
         # drifted upward since a shard's block maxima were computed
         avgdl_now = self.stats["avgdl"]
@@ -260,10 +272,12 @@ class IndexReader:
         return {t: self._df_cache[t] for t in terms}
 
     def _postings_for(self, terms: list[str]) -> DataFrame:
-        return (
-            self.spark.read.parquet(_postings_path(self.index_dir))
-            .filter(F.col("term").isin(terms))
+        base = (
+            self._cached_postings
+            if self._cached_postings is not None
+            else self.spark.read.parquet(_postings_path(self.index_dir))
         )
+        return base.filter(F.col("term").isin(terms))
 
     # -- search ----------------------------------------------------------
 

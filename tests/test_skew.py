@@ -1,0 +1,71 @@
+"""Hot-term skew tests (quirk Q4: punctuation terms appear in nearly
+every doc). The doc-partitioned layout makes skew structural: a term
+present in ALL docs spreads evenly across shards, so no reducer or group
+ever sees more than one shard's postings for it."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from indexer_spark.build import BuildConfig, build_index, read_manifest
+from indexer_spark.oracle import OracleIndex
+from indexer_spark.query import IndexReader
+
+
+def _skewed_corpus(n=3000, seed=5):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(n):
+        body = " ".join(rng.choice(words, size=10))
+        # '.' in EVERY doc (ubiquitous punctuation term) + hot word
+        rows.append((f"c{i:06d}", 0, "user", body + " . everywhere", None))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    ).assign(ts=pd.Timestamp("2026-01-01"))
+
+
+def test_ubiquitous_term_build_balance_and_parity(spark, tmp_path):
+    pdf = _skewed_corpus()
+    sdf = spark.createDataFrame(pdf)
+    d = str(tmp_path / "skew")
+    build_index(spark, sdf, d, BuildConfig(block_size=64, id_partitions=6))
+
+    # every shard carries its fair slice of the hot terms: per-shard
+    # postings counts are near-uniform (no reducer hot spot)
+    post = [r for r in read_manifest(d) if r["stage"] == "postings"]
+    counts = [r["n_postings"] for r in post if r["n_postings"] > 0]
+    assert max(counts) / min(counts) < 1.5
+
+    reader = IndexReader(spark, d)
+    oracle = OracleIndex(
+        list(enumerate(
+            pdf.sort_values(["conv_id", "turn_idx"])["text"].tolist()
+        ))
+    )
+    # df('.') == N and df(everywhere) == N
+    dfs = reader.global_dfs([".", "everywher"])  # 'everywhere' stems
+    assert dfs["."] == 3000 and dfs["everywher"] == 3000
+
+    # reference TF-IDF hides ubiquitous terms (idf=0, quirk Q3)
+    assert reader.search_tfidf(".", 10) == [] == oracle.search_tfidf(".", 10)
+
+    # BM25 still ranks them (idf > 0), identical to oracle
+    for q in [". everywhere", "alpha beta", "everywhere"]:
+        want = oracle.search_bm25(q, 10)
+        got = reader.search(q, 10)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for g, w in zip(got, want):
+            assert math.isclose(g[1], w[1], rel_tol=1e-9)
+
+
+def test_cached_reader_matches_uncached(spark, built_index):
+    index_dir, _ = built_index
+    r1 = IndexReader(spark, index_dir)
+    r2 = IndexReader(spark, index_dir, cache_postings=True)
+    try:
+        for q in ["run dog", "don't"]:
+            assert r1.search(q, 10) == r2.search(q, 10)
+    finally:
+        r2._cached_postings.unpersist()

@@ -48,11 +48,23 @@ def main():
         os.path.dirname(__file__), "..", "BENCH", "BASELINE.md"
     )
     levels = {}
+    all_builds: dict[int, list] = {}
     base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     for cpus in (base, 4 * base):
-        print(f"=== local[{cpus}] / {n_turns} turns ===", file=sys.stderr)
-        levels[cpus] = run_level(cpus, n_turns)
-        print(json.dumps(levels[cpus]), file=sys.stderr)
+        best = None
+        all_builds[cpus] = []
+        for rep in range(reps):
+            print(f"=== local[{cpus}] / {n_turns} turns / rep {rep} ===",
+                  file=sys.stderr)
+            out = run_level(cpus, n_turns)
+            print(json.dumps(out), file=sys.stderr)
+            all_builds[cpus].append(out["queries"]["build"])
+            # best-of-N: this VM has noisy neighbors (identical runs vary
+            # ~1.5-2x); the minimum approximates uncontended capability
+            if best is None or out["queries"]["build"] < best["queries"]["build"]:
+                best = out
+        levels[cpus] = best
 
     lo, hi = base, 4 * base
     tp8 = levels[lo]["turns_per_sec"]
@@ -66,9 +78,12 @@ def main():
 
 Same deterministic input ({n_turns:,} transcript turns, seed 42,
 `transcripts_spark` — a pure function of turn id, so byte-identical at any
-parallelism), same build config, fresh JVM per level. local[{lo}] vs
-local[{hi}] is the sandbox proxy for N vs 4N executors (task brief /
-BASELINE.json north_rule).
+parallelism), same build config (fixed {levels[lo]['n_shards']}-shard
+physical plan), fresh JVM per run. local[{lo}] vs local[{hi}] is the
+sandbox proxy for N vs 4N executors (task brief / BASELINE.json
+north_rule). This VM has noisy neighbors — identical runs vary ~1.5-2x —
+so each level reports the best of {reps} runs (all build walls:
+local[{lo}]={all_builds[lo]}, local[{hi}]={all_builds[hi]}).
 
 | metric | local[{lo}] (N) | local[{hi}] (4N) |
 |---|---|---|
