@@ -11,8 +11,9 @@ computation is expressed with no lock and no driver bottleneck:
                    AtomicU64 counter, tree.rs:63-82) without a single
                    global window; tokenization runs in the same pass
                    (Arrow-batched mapInPandas) and the forward index
-                   ("tok": doc row + [(term, tf)] + doc_len) is written
-                   partitioned by shard = doc_id // shard_docs.
+                   ("tok": doc row + delimited terms/tfs + doc_len) is
+                   written partitioned by shard == the stage-1 partition
+                   id (~shard_docs docs each; exactly one file per shard).
                    A shard is the scale-out analog of the reference's
                    100-doc segment (tree.rs:269).
 

@@ -181,8 +181,7 @@ def transcripts_spark(
     the corpus is identical under ANY partitioning/parallelism — which is
     what lets the scaling bench feed byte-identical input to local[8] and
     local[32]. Driver does no per-row work (spark.range -> mapInPandas)."""
-    import pandas as pd_  # noqa: F401  (kept local for executors)
-    from pyspark.sql import functions as F  # noqa: F401
+    import pandas as pd_  # local alias shipped to executors in the closure
 
     vocab = np.array(make_vocab(vocab_size, seed) + list(ADVERSARIAL))
     probs = _zipf_probs(len(vocab))
@@ -242,7 +241,13 @@ def transcripts_spark(
                 }
             )
 
-    df = spark.range(0, n_turns, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    if num_partitions is None:
+        # cap rows per task: one observed Spark 4.1 Arrow-stream hang on a
+        # 4M-row mapInPandas task; 250k-row tasks also balance better
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism, -(-n_turns // 250_000)
+        )
+    df = spark.range(0, n_turns, 1, num_partitions)
     return df.mapInPandas(
         gen,
         schema="conv_id string, turn_idx int, role string, text string, "
