@@ -524,7 +524,11 @@ def append_index(
 
     Crash-safe: stats.json and term_stats are only updated after the new
     shards' postings are committed; a re-run of the same batch is
-    idempotent (same doc ids, same shard slots, dynamic overwrite).
+    idempotent (same doc ids, same shard slots, dynamic overwrite) AS LONG
+    AS stats.json has not committed yet. Replaying a fully committed batch
+    would double-index it — streaming callers get a batch-id guard
+    (streaming.stream_index); manual callers own that dedup (e.g. check
+    the batch label in the manifest first).
     """
     cfg = cfg or BuildConfig()
     from .session import warm_workers
