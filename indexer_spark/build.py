@@ -6,16 +6,21 @@ postings -> flush 100-doc segments behind a global RwLock
 (/root/reference/src/lib.rs:292-342, src/tree.rs:186-247). Here the same
 computation is expressed with no lock and no driver bottleneck:
 
-  stage "ids"      repartitionByRange(conv_id, turn_idx) + per-partition
-                   offsets -> dense deterministic doc_id (replaces the
-                   AtomicU64 counter, tree.rs:63-82) without a single
-                   global window; tokenization runs in the same pass
-                   (Arrow-batched mapInPandas) and the forward index
-                   ("tok": doc row + delimited terms/tfs + doc_len) is
-                   written partitioned by shard == the stage-1 partition
-                   id (~shard_docs docs each; exactly one file per shard).
-                   A shard is the scale-out analog of the reference's
-                   100-doc segment (tree.rs:269).
+  stage "ids"      repartitionByRange(conv_id, turn_idx) -> tokenize
+                   (Arrow-batched mapInPandas) -> write the forward index
+                   ("tok": doc row + delimited terms/tfs + doc_len +
+                   LOCAL per-shard index) partitioned by
+                   shard == the stage-1 partition id, in ONE job — the
+                   corpus is materialized exactly once. Dense global
+                   doc_id = shard_offset + local_idx (replaces the
+                   AtomicU64 counter, tree.rs:63-82, with no global
+                   window and no pre-count pass): per-shard offsets are
+                   computed AFTER the write from a cheap per-shard count
+                   aggregate and stored in stats.json; the postings
+                   stage bakes absolute ids in, so the query path never
+                   pays for the indirection. A shard is the scale-out
+                   analog of the reference's 100-doc segment
+                   (tree.rs:269).
 
   stage "postings" per pending shard: ONE shuffle of compact doc rows
                    (terms/tfs as Arrow list columns, not exploded rows)
@@ -63,7 +68,7 @@ from .lexer import term_counts
 # through Arrow at C speed — list<string> columns cost per-element Python
 # conversion, which dominated the tokenize stage at 2M+ docs.
 TOK_SCHEMA = (
-    "doc_id long, shard int, conv_id string, turn_idx int, role string, "
+    "local_idx long, shard int, conv_id string, turn_idx int, role string, "
     "doc_len int, terms string, tfs string"
 )
 
@@ -128,13 +133,16 @@ def _write_stats(index_dir: str, stats: dict) -> None:
 # stage "ids": deterministic dense doc ids + tokenize -> forward index
 # --------------------------------------------------------------------------
 
-def _make_tokenizer(offsets: dict[int, int], shard_base: int = 0):
-    """mapInPandas fn: assign doc_ids from partition offsets + tokenize.
+def _make_tokenizer(shard_base: int = 0):
+    """mapInPandas fn: tokenize + assign LOCAL per-shard doc indices.
 
     Runs once per partition (iterator of Arrow batches); the partition's
-    rows arrive in (conv_id, turn_idx) order, so
-    doc_id = partition_offset + running_local_index is globally dense and
-    ordered — the scalable replacement for a global row_number window.
+    rows arrive in (conv_id, turn_idx) order, so local_idx = running
+    index within the partition. The global dense id is
+    doc_id = shard_offset + local_idx, with shard offsets computed from
+    per-shard counts AFTER the write — the scalable replacement for a
+    global row_number window that needs only ONE pass over the corpus
+    (no pre-count materialization).
 
     shard == the stage-1 partition id: each shard is then written as
     exactly ONE parquet file, which is what lets the postings stage read
@@ -142,18 +150,15 @@ def _make_tokenizer(offsets: dict[int, int], shard_base: int = 0):
     """
 
     def fn(batches):
-        base = None
         shard = None
         local = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if base is None:
-                pid = int(pdf["pid"].iloc[0])
-                base = offsets[pid]
-                shard = shard_base + pid
+            if shard is None:
+                shard = shard_base + int(pdf["pid"].iloc[0])
             n = len(pdf)
-            doc_ids = base + local + np.arange(n, dtype=np.int64)
+            doc_ids = local + np.arange(n, dtype=np.int64)
             local += n
             terms_col, tfs_col = [], []
             dls = np.zeros(n, dtype=np.int32)
@@ -165,7 +170,7 @@ def _make_tokenizer(offsets: dict[int, int], shard_base: int = 0):
                 tfs_col.append(",".join(map(str, counts.values())))
             yield pd.DataFrame(
                 {
-                    "doc_id": doc_ids,
+                    "local_idx": doc_ids,
                     "shard": np.full(n, shard, dtype=np.int32),
                     "conv_id": pdf["conv_id"].values,
                     "turn_idx": pdf["turn_idx"].values,
@@ -204,39 +209,38 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
         .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("pid", F.spark_partition_id())
     )
-    parted.persist()
-    try:
-        t1 = time.time()
-        counts = {r["pid"]: r["count"] for r in parted.groupBy("pid").count().collect()}
-        _dbg("range-partition+count", t1)
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        tok = parted.mapInPandas(_make_tokenizer(offsets), schema=TOK_SCHEMA)
-        t1 = time.time()
-        tok.write.partitionBy("shard").mode("overwrite").parquet(_tok_path(index_dir))
-        _dbg("tokenize+write", t1)
-    finally:
-        parted.unpersist()
+    # ONE pass over the corpus: shuffle -> tokenize -> write. Global ids
+    # are derived afterwards from per-shard counts (metadata-cheap scan
+    # of the written files), not from a pre-count of a cached shuffle.
+    tok = parted.mapInPandas(_make_tokenizer(), schema=TOK_SCHEMA)
+    t1 = time.time()
+    tok.write.partitionBy("shard").mode("overwrite").parquet(_tok_path(index_dir))
+    _dbg("tokenize+write", t1)
 
     t1 = time.time()
-    agg = (
+    per_shard = (
         spark.read.parquet(_tok_path(index_dir))
+        .groupBy("shard")
         .agg(
             F.count("*").alias("n"),
             F.sum("doc_len").alias("total_len"),
-            F.countDistinct("doc_id").alias("n_ids"),
+            F.max("local_idx").alias("max_local"),
         )
-        .collect()[0]
+        .collect()
     )
     _dbg("stats-agg", t1)
-    n_docs = agg["n"]
-    assert n_docs == acc and agg["n_ids"] == n_docs, "doc_id assignment not dense/unique"
-    avgdl = (agg["total_len"] or 0) / n_docs if n_docs else 0.0
+    offsets, counts, acc, total_len = {}, {}, 0, 0
+    for r in sorted(per_shard, key=lambda r: r["shard"]):
+        assert r["max_local"] + 1 == r["n"], "local_idx not dense within shard"
+        offsets[int(r["shard"])] = acc
+        counts[int(r["shard"])] = int(r["n"])
+        acc += int(r["n"])
+        total_len += int(r["total_len"] or 0)
+    n_docs = acc
+    avgdl = total_len / n_docs if n_docs else 0.0
     stats = {
         "n_docs": int(n_docs),
-        "total_len": int(agg["total_len"] or 0),
+        "total_len": int(total_len),
         "avgdl": float(avgdl),
         "block_size": cfg.block_size,
         "k1": cfg.k1,
@@ -244,6 +248,11 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
         # shard == stage-1 partition id; empty partitions own no file but
         # keep their slot so resume bookkeeping stays dense
         "n_shards": int(p),
+        # doc_id = shard_offsets[shard] + local_idx; at 10^12 scale this
+        # map outgrows JSON and becomes a tiny parquet/broadcast table —
+        # same lookup, different container
+        "shard_offsets": {str(s): o for s, o in offsets.items()},
+        "shard_counts": {str(s): c for s, c in counts.items()},
     }
     _write_stats(index_dir, stats)
     _append_manifest(
@@ -262,7 +271,10 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
 # stage "postings": per-shard sorted, delta+varint-compressed posting lists
 # --------------------------------------------------------------------------
 
-def _make_postings_builder(avgdl: float, k1: float, b: float, block_size: int):
+def _make_postings_builder(
+    avgdl: float, k1: float, b: float, block_size: int,
+    offsets: dict[int, int],
+):
     from .compress import encode_postings_batch
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -271,6 +283,9 @@ def _make_postings_builder(avgdl: float, k1: float, b: float, block_size: int):
                 columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
             )
         shard = int(pdf["shard"].iloc[0])
+        # absolute doc_id baked into the postings: the query path never
+        # sees the local/offset indirection
+        base = offsets[shard]
         # explode the doc rows at C speed: one join+split over the whole
         # group instead of per-row list handling (no Spark explode shuffle)
         pdf = pdf[pdf["terms"] != ""]
@@ -282,7 +297,9 @@ def _make_postings_builder(avgdl: float, k1: float, b: float, block_size: int):
         lens = np.fromiter(
             (s.count("\n") + 1 for s in terms_s), dtype=np.int64, count=len(terms_s)
         )
-        doc_rep = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        doc_rep = np.repeat(
+            base + pdf["local_idx"].to_numpy(dtype=np.int64), lens
+        )
         dl_rep = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
         terms = np.array("\n".join(terms_s).split("\n"), dtype=object)
         tfs = np.fromstring(",".join(pdf["tfs"].tolist()), dtype=np.int64, sep=",")
@@ -313,10 +330,10 @@ def _make_postings_builder(avgdl: float, k1: float, b: float, block_size: int):
     return fn
 
 
-def _make_streaming_builder(avgdl, k1, b, block_size):
+def _make_streaming_builder(avgdl, k1, b, block_size, offsets):
     """mapInPandas wrapper: accumulate a task's batches (whole shard
     files), then run the per-shard builder for each shard present."""
-    builder = _make_postings_builder(avgdl, k1, b, block_size)
+    builder = _make_postings_builder(avgdl, k1, b, block_size, offsets)
 
     def fn(batches):
         acc = [pdf for pdf in batches if len(pdf)]
@@ -368,11 +385,12 @@ def _stage_postings(
             src = (
                 spark.read.option("basePath", tok_root)
                 .parquet(*paths)
-                .select("shard", "doc_id", "doc_len", "terms", "tfs")
+                .select("shard", "local_idx", "doc_len", "terms", "tfs")
             )
+            offsets = {int(s): int(o) for s, o in stats["shard_offsets"].items()}
             built = src.mapInPandas(
                 _make_streaming_builder(
-                    stats["avgdl"], cfg.k1, cfg.b, cfg.block_size
+                    stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, offsets
                 ),
                 schema=POSTINGS_SCHEMA,
             )
@@ -394,10 +412,13 @@ def _stage_postings(
     wall = int((time.time() - t0) * 1000)
 
     # per-shard metrics + duplicate-(shard,term) guard in ONE pass over the
-    # committed files (cheap: metadata + the two binary-length columns)
+    # committed files (cheap: metadata + the two binary-length columns).
+    # Explicit schema: no footer-based inference (matters with millions of
+    # shard files at scale) and an all-empty corpus (zero postings rows)
+    # still reads as an empty table instead of failing inference.
     t1 = time.time()
     per_term = (
-        spark.read.parquet(_postings_path(index_dir))
+        spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
         .filter(F.col("shard").isin([int(s) for s in pending]))
         .groupBy("shard", "term")
         .agg(
@@ -442,7 +463,7 @@ def _stage_postings(
 
 
 def _stage_term_stats(spark, index_dir) -> None:
-    post = spark.read.parquet(_postings_path(index_dir))
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
     ts = post.groupBy("term").agg(F.sum("df").alias("df"))
     np_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 8)
     (
@@ -555,39 +576,45 @@ def append_index(
         .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("pid", F.spark_partition_id())
     )
-    parted.persist()
-    try:
-        counts = {r["pid"]: r["count"] for r in parted.groupBy("pid").count().collect()}
-        offsets, acc = {}, base_docs
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        tok = parted.mapInPandas(
-            _make_tokenizer(offsets, shard_base=base_shards), schema=TOK_SCHEMA
-        )
-        (
-            tok.write.partitionBy("shard")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(_tok_path(index_dir))
-        )
-    finally:
-        parted.unpersist()
+    tok = parted.mapInPandas(
+        _make_tokenizer(shard_base=base_shards), schema=TOK_SCHEMA
+    )
+    (
+        tok.write.partitionBy("shard")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(_tok_path(index_dir))
+    )
 
     new_shards = list(range(base_shards, base_shards + p))
-    agg = (
+    per_shard = (
         spark.read.parquet(_tok_path(index_dir))
         .filter(F.col("shard").isin(new_shards))
-        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("total_len"))
-        .collect()[0]
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_len").alias("total_len"),
+            F.max("local_idx").alias("max_local"),
+        )
+        .collect()
     )
-    n_new = int(agg["n"])
-    assert n_new == acc - base_docs, "appended doc count mismatch"
+    offsets = {int(s): int(o) for s, o in stats["shard_offsets"].items()}
+    counts = {int(s): int(c) for s, c in stats["shard_counts"].items()}
+    acc, new_len = base_docs, 0
+    for r in sorted(per_shard, key=lambda r: r["shard"]):
+        assert r["max_local"] + 1 == r["n"], "local_idx not dense within shard"
+        offsets[int(r["shard"])] = acc
+        counts[int(r["shard"])] = int(r["n"])
+        acc += int(r["n"])
+        new_len += int(r["total_len"] or 0)
+    n_new = acc - base_docs
     new_stats = dict(stats)
     new_stats["n_docs"] = base_docs + n_new
     new_stats["total_len"] = stats.get(
         "total_len", int(round(stats["avgdl"] * base_docs))
-    ) + int(agg["total_len"] or 0)
+    ) + new_len
+    new_stats["shard_offsets"] = {str(s): o for s, o in offsets.items()}
+    new_stats["shard_counts"] = {str(s): c for s, c in counts.items()}
     new_stats["avgdl"] = (
         new_stats["total_len"] / new_stats["n_docs"] if new_stats["n_docs"] else 0.0
     )
@@ -611,7 +638,40 @@ def append_index(
 
 def docstore(spark: SparkSession, index_dir: str) -> DataFrame:
     """Docstore view (tree.rs:21-31 analog): the forward index minus the
-    terms column — parquet column pruning makes this a cheap projection."""
-    return spark.read.parquet(_tok_path(index_dir)).select(
-        "doc_id", "shard", "conv_id", "turn_idx", "role", "doc_len"
+    terms column — parquet column pruning makes this a cheap projection.
+    doc_id = shard_offset + local_idx via a broadcast join on the tiny
+    shard->offset map (at 10^12 scale the map is a broadcast table)."""
+    stats = read_stats(index_dir)
+    off = spark.createDataFrame(
+        [(int(s), int(o)) for s, o in stats["shard_offsets"].items()],
+        "shard int, _off long",
     )
+    return (
+        spark.read.parquet(_tok_path(index_dir))
+        .join(F.broadcast(off), "shard")
+        .select(
+            (F.col("_off") + F.col("local_idx")).alias("doc_id"),
+            "shard", "conv_id", "turn_idx", "role", "doc_len",
+        )
+    )
+
+
+def locate_doc_ids(stats: dict, doc_ids: list[int]) -> dict[int, tuple[int, int]]:
+    """doc_id -> (shard, local_idx) using the stats offsets — lets point
+    lookups push shard partition pruning + local_idx row-group stats down
+    to the tok scan instead of filtering a computed column."""
+    pairs = sorted(
+        (int(o), int(s)) for s, o in stats["shard_offsets"].items()
+    )
+    import bisect
+
+    bounds = [o for o, _ in pairs]
+    out = {}
+    for d in doc_ids:
+        i = bisect.bisect_right(bounds, d) - 1
+        if i < 0:
+            continue
+        off, shard = pairs[i]
+        if d - off < int(stats["shard_counts"][str(shard)]):
+            out[int(d)] = (shard, int(d - off))
+    return out

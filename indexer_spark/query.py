@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .build import (
     _postings_path,
     _term_stats_path,
-    docstore,
     read_manifest,
     read_stats,
 )
@@ -229,7 +228,9 @@ class IndexReader:
         self._df_cache: dict[str, int] = {}
         self._cached_postings = None
         if cache_postings:
-            self._cached_postings = spark.read.parquet(
+            from .build import POSTINGS_SCHEMA
+
+            self._cached_postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
                 _postings_path(index_dir)
             ).persist()
         # shard -> upper-bound rescale for appended indexes whose avgdl
@@ -260,6 +261,10 @@ class IndexReader:
             import pyarrow.dataset as pads
 
             ds = pads.dataset(_term_stats_path(self.index_dir), format="parquet")
+            if "term" not in ds.schema.names:  # zero-postings index
+                for t in missing:
+                    self._df_cache[t] = 0
+                return {t: self._df_cache[t] for t in terms}
             tbl = ds.to_table(filter=pads.field("term").isin(missing))
             found = dict(
                 zip(
@@ -272,10 +277,14 @@ class IndexReader:
         return {t: self._df_cache[t] for t in terms}
 
     def _postings_for(self, terms: list[str]) -> DataFrame:
+        from .build import POSTINGS_SCHEMA
+
         base = (
             self._cached_postings
             if self._cached_postings is not None
-            else self.spark.read.parquet(_postings_path(self.index_dir))
+            else self.spark.read.schema(POSTINGS_SCHEMA).parquet(
+                _postings_path(self.index_dir)
+            )
         )
         return base.filter(F.col("term").isin(terms))
 
@@ -351,15 +360,25 @@ class IndexReader:
 
     def resolve(self, hits: list[tuple[int, float]]) -> DataFrame:
         """doc_id -> (conv_id, turn_idx) resolution (J1, tree.rs:454-459):
-        broadcast the tiny top-k side; parquet row-group stats prune the
-        docstore scan by doc_id."""
-        ids = [int(d) for d, _ in hits]
+        broadcast the tiny top-k side; doc_ids are translated driver-side
+        to (shard, local_idx) so the tok scan gets shard PARTITION
+        pruning + local_idx row-group pruning (better than filtering a
+        computed doc_id column)."""
+        from .build import _tok_path, locate_doc_ids
+
+        loc = locate_doc_ids(self.stats, [int(d) for d, _ in hits])
+        rows = [
+            (*loc[int(d)], int(d), float(s)) for d, s in hits if int(d) in loc
+        ]
         hits_df = self.spark.createDataFrame(
-            [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+            rows, "shard int, local_idx long, doc_id long, score double"
         )
-        ds = docstore(self.spark, self.index_dir).filter(F.col("doc_id").isin(ids))
+        tok = self.spark.read.parquet(_tok_path(self.index_dir)).filter(
+            F.col("shard").isin(sorted({r[0] for r in rows}))
+            & F.col("local_idx").isin(sorted({r[1] for r in rows}))
+        )
         return (
-            ds.join(F.broadcast(hits_df), "doc_id")
+            tok.join(F.broadcast(hits_df), ["shard", "local_idx"])
             .select("conv_id", "turn_idx", "doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )

@@ -22,6 +22,19 @@ import sys
 import time
 
 
+def _taskset_prefix(cpus: int) -> list[str]:
+    """Pin the whole process tree (JVM + Python workers) to exactly
+    ``cpus`` cores. Without pinning, a local[N] JVM leaks GC/shuffle-IO/
+    parquet threads and Python UDF workers onto extra cores, inflating
+    the small-N baseline — a real N-core executor is cgroup-confined, so
+    pinning is the faithful proxy for cluster size N."""
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        return ["taskset", "-c", f"0-{cpus - 1}"]
+    return []
+
+
 def run_level(cpus: int, n_turns: int) -> dict:
     env = dict(
         os.environ,
@@ -31,7 +44,8 @@ def run_level(cpus: int, n_turns: int) -> dict:
     )
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        _taskset_prefix(cpus)
+        + [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
         env=env, capture_output=True, text=True, timeout=3000,
     )
     if proc.returncode != 0:
@@ -79,10 +93,14 @@ def main():
 Same deterministic input ({n_turns:,} transcript turns, seed 42,
 `transcripts_spark` — a pure function of turn id, so byte-identical at any
 parallelism), same build config (fixed {levels[lo]['n_shards']}-shard
-physical plan), fresh JVM per run. local[{lo}] vs local[{hi}] is the
-sandbox proxy for N vs 4N executors (task brief / BASELINE.json
-north_rule). This VM has noisy neighbors — identical runs vary ~1.5-2x —
-so each level reports the best of {reps} runs (all build walls:
+physical plan), fresh JVM per run, each level CPU-affinity-pinned
+(taskset) to exactly its core count so a local[{lo}] JVM cannot leak
+GC/IO/Python-worker threads onto spare cores (a real {lo}-core executor
+is cgroup-confined; unpinned local mode overstates the small-N baseline).
+local[{lo}] vs local[{hi}] is the sandbox proxy for N vs 4N executors
+(task brief / BASELINE.json north_rule). This VM has noisy neighbors —
+identical runs vary ~1.5-2x — so each level reports the best of {reps}
+runs (all build walls:
 local[{lo}]={all_builds[lo]}, local[{hi}]={all_builds[hi]}).
 
 | metric | local[{lo}] (N) | local[{hi}] (4N) |
