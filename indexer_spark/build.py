@@ -412,30 +412,33 @@ def _stage_postings(
     wall = int((time.time() - t0) * 1000)
 
     # per-shard metrics + duplicate-(shard,term) guard in ONE pass over the
-    # committed files (cheap: metadata + the two binary-length columns).
-    # Explicit schema: no footer-based inference (matters with millions of
-    # shard files at scale) and an all-empty corpus (zero postings rows)
-    # still reads as an empty table instead of failing inference.
+    # committed files. Scans ONLY (shard, term, df) — parquet column
+    # pruning keeps the just-written postings payload untouched; n_bytes
+    # comes from the committed file sizes (true storage bytes, free from
+    # the filesystem / table manifest). Explicit schema: no footer-based
+    # inference (matters with millions of shard files at scale) and an
+    # all-empty corpus (zero postings rows) still reads as an empty table
+    # instead of failing inference.
     t1 = time.time()
     per_term = (
         spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
         .filter(F.col("shard").isin([int(s) for s in pending]))
         .groupBy("shard", "term")
-        .agg(
-            F.count("*").alias("c"),
-            F.sum("df").alias("sdf"),
-            F.sum(
-                F.length("docs") + F.length("tfs") + F.length("dls")
-            ).alias("sb"),
-        )
+        .agg(F.count("*").alias("c"), F.sum("df").alias("sdf"))
     )
     m = per_term.groupBy("shard").agg(
         F.count("*").alias("n_terms"),
         F.sum("sdf").alias("n_postings"),
-        F.sum("sb").alias("n_bytes"),
         F.max("c").alias("max_dup"),
     )
     metrics = {r["shard"]: r for r in m.collect()}
+    shard_bytes = {}
+    for s in pending:
+        sd = os.path.join(_postings_path(index_dir), f"shard={int(s)}")
+        shard_bytes[s] = sum(
+            os.path.getsize(os.path.join(sd, f))
+            for f in os.listdir(sd)
+        ) if os.path.isdir(sd) else 0
     _dbg("metrics+guard", t1)
     dup = sum(1 for r in metrics.values() if r["max_dup"] > 1)
     if dup:
@@ -452,7 +455,7 @@ def _stage_postings(
             "stage": "postings", "shard": int(s), "status": "done",
             "n_terms": int(r["n_terms"]) if r else 0,
             "n_postings": int(r["n_postings"]) if r else 0,
-            "n_bytes": int(r["n_bytes"]) if r else 0,
+            "n_bytes": int(shard_bytes.get(s, 0)),
             # avgdl the block max_norms were computed with: the pruned
             # scorer must rescale its upper bounds if the corpus avgdl
             # later drifts upward (see IndexReader/_make_pruned_scorer)
