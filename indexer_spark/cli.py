@@ -36,13 +36,14 @@ def get_session(args):
 
 def cmd_build(args):
     from .build import BuildConfig, build_index
+    from .sources import read_source
 
     spark = get_session(args)
-    src = spark.read.parquet(args.input)
+    src = read_source(spark, args.input, args.format)
     cfg = BuildConfig(
         shard_docs=args.shard_docs,
         block_size=args.block_size,
-        extra_lineage={"input": args.input},
+        extra_lineage={"input": args.input, "format": args.format},
     )
     t0 = time.time()
     stats = build_index(spark, src, args.index, cfg, resume=args.resume)
@@ -51,11 +52,15 @@ def cmd_build(args):
 
 def cmd_append(args):
     from .build import BuildConfig, append_index
+    from .sources import read_source
 
     spark = get_session(args)
-    src = spark.read.parquet(args.input)
+    src = read_source(spark, args.input, args.format,
+                      snapshot_id=args.snapshot_id)
     cfg = BuildConfig(shard_docs=args.shard_docs, block_size=args.block_size,
-                      extra_lineage={"input": args.input})
+                      extra_lineage={"input": args.input,
+                                     "format": args.format,
+                                     "snapshot_id": args.snapshot_id})
     t0 = time.time()
     stats = append_index(spark, src, args.index, cfg)
     print(json.dumps({"ok": True, "wall_sec": round(time.time() - t0, 2), **stats}))
@@ -106,6 +111,8 @@ def main(argv=None):
     b.add_argument("--shard-docs", type=int, default=1 << 16)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--format", choices=["parquet", "iceberg"],
+                   default="parquet")
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("append")
@@ -113,6 +120,9 @@ def main(argv=None):
     a.add_argument("--index", required=True)
     a.add_argument("--shard-docs", type=int, default=1 << 16)
     a.add_argument("--block-size", type=int, default=128)
+    a.add_argument("--format", choices=["parquet", "iceberg"],
+                   default="parquet")
+    a.add_argument("--snapshot-id", type=int, default=None)
     a.set_defaults(fn=cmd_append)
 
     q = sub.add_parser("query")
