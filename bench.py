@@ -90,6 +90,8 @@ def main():
             t0 = time.time()
             reader.search(q, 10, mode="pruned")
             lat.append(time.time() - t0)
+        log("per-query warm latencies: "
+            + " ".join(f"{q[:18]!r}={t:.2f}s" for q, t in zip(queries, lat)))
         lat_sorted = sorted(lat)
         timings["bm25_warm_total"] = round(sum(lat), 3)
         p50 = lat_sorted[len(lat) // 2]

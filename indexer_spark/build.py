@@ -432,13 +432,23 @@ def _stage_postings(
         F.max("c").alias("max_dup"),
     )
     metrics = {r["shard"]: r for r in m.collect()}
-    shard_bytes = {}
+    shard_bytes, max_file = {}, 0
     for s in pending:
         sd = os.path.join(_postings_path(index_dir), f"shard={int(s)}")
-        shard_bytes[s] = sum(
-            os.path.getsize(os.path.join(sd, f))
-            for f in os.listdir(sd)
-        ) if os.path.isdir(sd) else 0
+        tot = 0
+        if os.path.isdir(sd):
+            for f in os.listdir(sd):
+                sz = os.path.getsize(os.path.join(sd, f))
+                tot += sz
+                max_file = max(max_file, sz)
+        shard_bytes[s] = tot
+    # the query path's shuffle-free scorer needs whole-file tasks; record
+    # the largest committed postings file so IndexReader can verify the
+    # scan conf honors that invariant (same guard idea as the tok read)
+    stats["max_postings_file_bytes"] = max(
+        int(stats.get("max_postings_file_bytes", 0)), int(max_file)
+    )
+    _write_stats(index_dir, stats)
     _dbg("metrics+guard", t1)
     dup = sum(1 for r in metrics.values() if r["max_dup"] > 1)
     if dup:

@@ -51,6 +51,23 @@ _SCORE_SCHEMA = "doc_id long, score double"
 SMALL_SHARD_THRESHOLD = 200_000
 
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int | None:
+    """Parse Spark size confs: '33554432', '128m', '1g', '128mb'..."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        try:
+            return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+        except ValueError:
+            return None
+    try:
+        return int(s)
+    except ValueError:
+        return None
+
+
 def _bm25_idf(n: int, df: int) -> float:
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
@@ -105,6 +122,28 @@ def _make_exhaustive_scorer(weights: dict[str, float], k1, b, avgdl, k, kind):
             uids, sums = uids[keep], sums[keep]
         uids, sums = _topk_merge(uids, sums, k)
         return pd.DataFrame({"doc_id": uids, "score": sums})
+
+    return fn
+
+
+def _shard_grouped(scorer):
+    """mapInPandas wrapper: accumulate a task's Arrow batches, then run
+    the per-shard scorer on each shard present. Correct ONLY when a
+    shard's matched postings rows all land in one task — IndexReader
+    pins spark.sql.files.maxPartitionBytes above the largest committed
+    postings file (recorded in stats.json) to enforce that, and falls
+    back to the groupBy(shard) exchange when it cannot. Scoring happens
+    where the data lives: a hot term's postings bytes are never
+    shuffled, which is the difference between a query-time exchange of
+    GBs and none at 10^12-doc scale."""
+
+    def fn(batches):
+        acc = [pdf for pdf in batches if len(pdf)]
+        if not acc:
+            return
+        whole = pd.concat(acc, ignore_index=True)
+        for _shard, g in whole.groupby("shard", sort=False):
+            yield scorer(g)
 
     return fn
 
@@ -227,6 +266,28 @@ class IndexReader:
         self.stats = read_stats(index_dir)
         self._df_cache: dict[str, int] = {}
         self._cached_postings = None
+        # shuffle-free scoring requires whole-file scan tasks: pin the
+        # split size above the largest committed postings file (recorded
+        # at build time). If the conf cannot be raised, queries fall
+        # back to the groupBy(shard) exchange plan (slower, always safe).
+        self._whole_file_tasks = False
+        max_file = self.stats.get("max_postings_file_bytes")
+        if max_file is not None:  # indexes that recorded the invariant
+            need = int(max_file) + 1
+            try:
+                cur = _parse_bytes(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes")
+                )
+                if cur is None or cur < need:
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", str(need)
+                    )
+                    spark.conf.set(
+                        "spark.sql.files.openCostInBytes", str(need)
+                    )
+                self._whole_file_tasks = True
+            except Exception:
+                pass
         if cache_postings:
             from .build import POSTINGS_SCHEMA
 
@@ -321,13 +382,21 @@ class IndexReader:
                 idf, st["k1"], st["b"], st["avgdl"], k, "bm25"
             )
             cols = ["shard", "term", "df", "docs", "tfs", "dls"]
-        scored = (
-            self._postings_for(present)
-            .select(*cols)  # prune unused streams at the parquet scan
-            .groupBy("shard")
-            .applyInPandas(scorer, schema=_SCORE_SCHEMA)
+        scored = self._apply_scorer(
+            self._postings_for(present).select(*cols), scorer
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _apply_scorer(self, postings: DataFrame, scorer):
+        """Shuffle-free when whole-file tasks are guaranteed (score in
+        place via mapInPandas); otherwise exchange by shard first."""
+        if self._whole_file_tasks:
+            return postings.mapInPandas(
+                _shard_grouped(scorer), schema=_SCORE_SCHEMA
+            )
+        return postings.groupBy("shard").applyInPandas(
+            scorer, schema=_SCORE_SCHEMA
+        )
 
     def search_tfidf(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
         """Reference-parity TF-IDF search incl. quirks Q3/Q9 (tree.rs:388-465)."""
@@ -349,11 +418,11 @@ class IndexReader:
         present = sorted(weights)
         kk = k if k is not None else n
         scorer = _make_exhaustive_scorer(weights, 0, 0, 1.0, kk, "tfidf")
-        scored = (
-            self._postings_for(present)
-            .select("shard", "term", "df", "docs", "tfs", "dls")
-            .groupBy("shard")
-            .applyInPandas(scorer, schema=_SCORE_SCHEMA)
+        scored = self._apply_scorer(
+            self._postings_for(present).select(
+                "shard", "term", "df", "docs", "tfs", "dls"
+            ),
+            scorer,
         )
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
         return [(r["doc_id"], r["score"]) for r in out.collect()]

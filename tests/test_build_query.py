@@ -144,3 +144,30 @@ def test_manifest_covers_all_shards(built_index):
             assert r["n_bytes"] >= 0 and r["wall_ms"] >= 0
     # stats file round-trips
     assert read_stats(index_dir)["n_docs"] == stats["n_docs"]
+
+
+def test_shuffle_free_scorer_matches_exchange_path(spark, built_index):
+    """The mapInPandas whole-file-task scorer (no query-time shuffle)
+    must be result-identical to the groupBy(shard) exchange fallback,
+    for both BM25 (pruned + exhaustive) and TF-IDF, on every reference
+    query."""
+    index_dir, _ = built_index
+    fast = IndexReader(spark, index_dir)
+    assert fast._whole_file_tasks, "invariant not recorded / conf not set"
+    slow = IndexReader(spark, index_dir)
+    slow._whole_file_tasks = False
+    for _, q, k in gen_queries():
+        for mode in ("pruned", "exhaustive"):
+            assert fast.search(q, k, mode=mode) == slow.search(q, k, mode=mode)
+        assert fast.search_tfidf(q, k) == slow.search_tfidf(q, k)
+
+
+def test_parse_bytes():
+    from indexer_spark.query import _parse_bytes
+
+    assert _parse_bytes("33554432") == 33554432
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("1.5k") == 1536
+    assert _parse_bytes("nope") is None
