@@ -171,3 +171,16 @@ def test_parse_bytes():
     assert _parse_bytes("1g") == 1 << 30
     assert _parse_bytes("1.5k") == 1536
     assert _parse_bytes("nope") is None
+
+
+def test_locate_doc_ids_edges(built_index):
+    from indexer_spark.build import locate_doc_ids, read_stats
+
+    index_dir, stats = built_index
+    n = stats["n_docs"]
+    loc = locate_doc_ids(stats, [0, n - 1, n, n + 50, -1])
+    assert 0 in loc and (n - 1) in loc
+    assert n not in loc and (n + 50) not in loc and -1 not in loc
+    # round-trip: every located id maps back to itself
+    for d, (shard, local) in loc.items():
+        assert int(stats["shard_offsets"][str(shard)]) + local == d
