@@ -27,6 +27,7 @@ on ASCII input it is exactly equivalent to the scanner above.
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 from .porter2 import stem_cached
 from .stopwords import STOP_SET
@@ -38,8 +39,11 @@ from .stopwords import STOP_SET
 _ASCII_TOKEN_RE = re.compile(r"[0-9]+|[a-z][a-z0-9]*|[^ \t\n\r\x0b\x0c]")
 
 
-def _lex_unicode(s: str) -> list[str]:
-    """Slow path mirroring the Rust char-class scanner for non-ASCII text."""
+def _lex_unicode_raw(s: str) -> list[str]:
+    """Slow path mirroring the Rust char-class scanner for non-ASCII
+    text. Emits RAW tokens; stemming/stop-filtering happen in
+    ``_final`` (keyed on the raw token, so it runs once per unique
+    token, not once per occurrence)."""
     toks: list[str] = []
     i, n = 0, len(s)
     while i < n:
@@ -57,7 +61,7 @@ def _lex_unicode(s: str) -> list[str]:
             j = i + 1
             while j < n and s[j].isalnum():
                 j += 1
-            toks.append(stem_cached(s[i:j]))
+            toks.append(s[i:j])
             i = j
         else:
             toks.append(c)
@@ -65,28 +69,62 @@ def _lex_unicode(s: str) -> list[str]:
     return toks
 
 
-def tokenize(text: str | None) -> list[str]:
-    """Full reference-parity tokenization of one document or query."""
+# raw token -> final term (stemmed iff alphabetic-initial, exactly the
+# scanner's stem condition) or None if stop-filtered. Bounded like a
+# worker-local dictionary cache: Zipf means the hot head covers almost
+# all occurrences; clearing on overflow only costs re-derivation.
+_FINAL: dict[str, str | None] = {}
+_FINAL_MAX = 2_000_000
+_MISS = object()
+
+
+def _final(raw: str):
+    f = _FINAL.get(raw, _MISS)
+    if f is _MISS:
+        f = stem_cached(raw) if raw[0].isalpha() else raw
+        if f in STOP_SET:
+            f = None
+        if len(_FINAL) >= _FINAL_MAX:
+            _FINAL.clear()
+        _FINAL[raw] = f
+    return f
+
+
+def _raw_tokens(text: str | None) -> list[str]:
     if not text:
         return []
     s = text.lower()
     if s.isascii():
-        toks = []
-        append = toks.append
-        for m in _ASCII_TOKEN_RE.finditer(s):
-            t = m.group()
-            c = t[0]
-            if "a" <= c <= "z":
-                t = stem_cached(t)
-            append(t)
-    else:
-        toks = _lex_unicode(s)
-    return [t for t in toks if t not in STOP_SET]
+        return _ASCII_TOKEN_RE.findall(s)
+    return _lex_unicode_raw(s)
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Full reference-parity tokenization of one document or query."""
+    out = []
+    append = out.append
+    final = _final
+    for t in _raw_tokens(text):
+        f = final(t)
+        if f is not None:
+            append(f)
+    return out
 
 
 def term_counts(text: str | None) -> dict[str, int]:
-    """term -> tf for one document (reference add_doc, tree.rs:146-160)."""
+    """term -> tf for one document (reference add_doc, tree.rs:146-160).
+
+    Counts RAW tokens first (collections.Counter's C loop), then
+    stems/stop-filters once per UNIQUE raw token — the per-occurrence
+    Python work that dominated the build's tokenize stage collapses to
+    a per-unique lookup."""
+    raw = _raw_tokens(text)
+    if not raw:
+        return {}
     counts: dict[str, int] = {}
-    for t in tokenize(text):
-        counts[t] = counts.get(t, 0) + 1
+    final = _final
+    for t, c in Counter(raw).items():
+        f = final(t)
+        if f is not None:
+            counts[f] = counts.get(f, 0) + c
     return counts

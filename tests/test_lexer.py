@@ -6,7 +6,7 @@ quirks Q4/Q5 that the whole rank-identity chain depends on.
 
 from hypothesis import given, strategies as st
 
-from indexer_spark.lexer import _lex_unicode, term_counts, tokenize
+from indexer_spark.lexer import _final, _lex_unicode_raw, term_counts, tokenize
 from indexer_spark.porter2 import stem
 from indexer_spark.stopwords import STOP_SET
 
@@ -59,7 +59,7 @@ def test_unicode_paths_agree_with_ascii_fastpath():
     # same ASCII text via both code paths must agree
     for text in ["hello world 42!", "a.b,c 123abc don't", "x  y\tz"]:
         fast = tokenize(text)
-        slow = [t for t in _lex_unicode(text.lower()) if t not in STOP_SET]
+        slow = [f for f in map(_final, _lex_unicode_raw(text.lower())) if f is not None]
         assert fast == slow, text
 
 
@@ -92,5 +92,5 @@ def test_tokenize_total_and_stable(text):
 def test_fastpath_equals_slowpath_on_mixed(text):
     # force comparison: run the unicode scanner on any text and compare
     # with tokenize() (which picks the path itself)
-    expected = [t for t in _lex_unicode(text.lower()) if t not in STOP_SET]
+    expected = [f for f in map(_final, _lex_unicode_raw(text.lower())) if f is not None]
     assert tokenize(text) == expected
