@@ -272,7 +272,12 @@ def _q_lang_count(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
         .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # cast to long on BOTH sides: DuckDB sum(BIGINT) is HUGEINT,
+            # which hash-mismatches Spark's long even at equal values
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )
 
 
@@ -302,14 +307,16 @@ def _q_top_users(spark, sf_dir):
 # -- rows-only demos (not SQL-expressible: UDF / engine-hash based) --------
 
 def _q_minhash_pairs(spark, sf_dir):
-    """Near-dup candidates via MinHash+LSH banding (xxhash64-based; engine-
-    specific hash => rows-only check). 16 hashes, 4 bands of 4 (a band
-    matches only when all 4 minhashes agree => candidates need high
-    estimated Jaccard)."""
+    """Near-dup candidates via MinHash+LSH banding. 16 hashes, 4 bands of 4
+    (a band matches only when all 4 minhashes agree => candidates need high
+    estimated Jaccard). Hash = md5('i#term') hex string (lexicographic min
+    over lowercase hex is identical in Spark and DuckDB), so this entry is
+    fully oracle-checkable; the engine's `minhash_signatures` keeps
+    xxhash64 (cheaper JVM-side, same algorithm)."""
     tok = _tokens(spark, sf_dir).distinct()
     sigs = tok.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("term"), F.lit(i))).alias(f"h{i}")
+            F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("term")))).alias(f"h{i}")
             for i in range(16)
         ]
     )
@@ -320,7 +327,7 @@ def _q_minhash_pairs(spark, sf_dir):
             sigs.select(
                 "doc_id",
                 F.lit(bnd).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
             )
         )
     allb = bands[0]
@@ -355,17 +362,19 @@ def _q_tokenize_udf(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    """64-bit SimHash per doc, fully JVM-side (engine-hash based =>
-    rows-only check; invariants tested in tests/test_extras.py)."""
+    """60-bit SimHash per doc over md5-derived term hashes — the portable
+    variant of the engine's xxhash64 `simhash64`, chosen here because
+    DuckDB computes the identical value (full oracle check)."""
     _ship_package(spark)
-    from indexer_spark.extras.dedup import simhash64
+    from indexer_spark.extras.dedup import simhash_portable
 
-    return simhash64(_docs(spark, sf_dir))
+    return simhash_portable(_docs(spark, sf_dir))
 
 
 def _q_quality(spark, sf_dir):
-    """Quality scoring features (JVM regexp semantics differ from DuckDB
-    => rows-only; invariants tested in tests/test_extras.py)."""
+    """Quality scoring features — fully JVM-side arithmetic over regexp
+    counts; the DuckDB oracle mirrors the exact regex classes and the
+    fixed-order float arithmetic."""
     _ship_package(spark)
     from indexer_spark.extras.textstats import quality_scores
 
@@ -373,7 +382,8 @@ def _q_quality(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
-    """Heuristic language ID (pandas UDF => rows-only)."""
+    """Heuristic language ID (JVM expressions; DuckDB mirrors the
+    stopword/char scoring and the first-wins tie-break)."""
     _ship_package(spark)
     from indexer_spark.extras.textstats import language_id
 
@@ -381,7 +391,9 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_fingerprints(spark, sf_dir):
-    """Rolling-hash document fingerprints (numpy UDF => rows-only)."""
+    """Rolling-hash document fingerprints (numpy UDF; mod-2^64 polynomial
+    hash has no DuckDB equivalent => rows-only by necessity; parity is
+    pytest-verified in tests/test_extras.py)."""
     _ship_package(spark)
     from indexer_spark.extras.textstats import fingerprints
 
@@ -527,7 +539,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({tok}) t WHERE term <> '' GROUP BY doc_id
         """,
         "lang_count": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY lang
         """,
         "events_by_type": """
@@ -541,5 +554,163 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 10
         """,
-        # minhash_pairs, tokenize_udf: engine-hash / UDF based -> rows-only
+        "minhash_pairs": _minhash_oracle_sql(tok),
+        "simhash": _simhash_oracle_sql(),
+        "quality_scores": _quality_oracle_sql(),
+        "lang_id": _lang_id_oracle_sql(),
+        # rows-only by necessity:
+        #  - tokenize_udf: Porter2 stemming + reference lexer quirks have no
+        #    SQL equivalent (pytest parity vs the oracle instead)
+        #  - fingerprints: mod-2^64 polynomial rolling hash is not
+        #    expressible in DuckDB SQL (pytest-verified)
     }
+
+
+def _minhash_oracle_sql(tok: str) -> str:
+    """DuckDB twin of _q_minhash_pairs: identical md5-string minhash
+    (lexicographic min over lowercase hex), identical 4x4 banding."""
+    h = ",\n                   ".join(
+        f"min(md5('{i}#' || term)) AS h{i}" for i in range(16)
+    )
+    bands = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, "
+        "md5(h{i0} || '|' || h{i1} || '|' || h{i2} || '|' || h{i3}) AS bucket "
+        "FROM sigs".format(b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
+        for b in range(4)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, term FROM ({tok}) t WHERE term <> ''
+        ), sigs AS (
+            SELECT doc_id,
+                   {h}
+            FROM tok GROUP BY doc_id
+        ), bands AS (
+            {bands}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB twin of extras.dedup.simhash_portable (md5-derived 60-bit
+    term hashes; tokens = lowercase whitespace split, matching
+    dedup._tokens)."""
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN tf ELSE -tf END) AS s{i}"
+        for i in range(bits)
+    )
+    bitsum = "\n                 + ".join(
+        f"CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id,
+                         unnest(list_filter(
+                             regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS term
+                  FROM documents) t
+            GROUP BY doc_id, term
+        ), h AS (
+            SELECT doc_id, tf,
+                   ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+            FROM tok
+        ), s AS (
+            SELECT doc_id,
+                   {sums}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               ({bitsum})::BIGINT AS simhash
+        FROM s
+    """
+
+
+def _quality_oracle_sql() -> str:
+    """DuckDB twin of extras.textstats.quality_scores: same regex classes,
+    same fixed-order float arithmetic, round(x, 6) both sides."""
+    return r"""
+        WITH base AS (
+            SELECT doc_id,
+                   greatest(length(text), 1) AS safe_chars,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS words,
+                   length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                     AS punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+            FROM documents
+        ), w AS (
+            SELECT doc_id, punct, digits, safe_chars,
+                   len(words) AS n_words,
+                   len(list_distinct(words)) AS n_distinct,
+                   len(list_intersect(words,
+                       ['the','and','of','to','a','in','is','it','that']))
+                     AS n_stop,
+                   greatest(len(words), 1) AS safe_words
+            FROM base
+        )
+        SELECT doc_id,
+               n_words::BIGINT AS n_words,
+               n_distinct::BIGINT AS n_distinct,
+               round(n_distinct / safe_words, 6) AS rep_ratio,
+               round(n_stop / safe_words, 6) AS stop_ratio,
+               round(punct / safe_chars, 6) AS punct_ratio,
+               round(digits / safe_chars, 6) AS digit_ratio,
+               round(  least(n_words / 100.0, 1.0) * 0.3
+                     + (n_distinct / safe_words) * 0.3
+                     + least((n_stop / safe_words) * 5.0, 1.0) * 0.2
+                     + (1.0 - least((punct / safe_chars) * 4.0, 1.0)) * 0.1
+                     + (1.0 - least((digits / safe_chars) * 4.0, 1.0)) * 0.1,
+                     6) AS quality
+        FROM w
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of extras.textstats.language_id: stopword hits (x2) +
+    distinctive-char hits, first-wins tie-break in (en, fr, de, es) order,
+    CJK by Unicode range over the first 200 chars."""
+    profiles = {
+        "en": (["and", "for", "in", "is", "it", "of", "that", "the", "to"], ""),
+        "fr": (["de", "des", "est", "et", "la", "le", "les", "que", "un", "une"],
+               "éèêàçù"),
+        "de": (["das", "der", "die", "ein", "eine", "ist", "mit", "nicht", "und"],
+               "äöüß"),
+        "es": (["de", "el", "es", "la", "las", "los", "por", "que", "una", "y"],
+               "ñáéíóú¿¡"),
+    }
+    score_cols = []
+    for lang, (stops, chars) in profiles.items():
+        lst = ", ".join(f"'{w}'" for w in stops)
+        expr = f"2 * len(list_intersect(w, [{lst}]))"
+        if chars:
+            expr += (f" + length(low) - "
+                     f"length(regexp_replace(low, '[{chars}]', '', 'g'))")
+        score_cols.append(f"{expr} AS s_{lang}")
+    scores = ",\n                   ".join(score_cols)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS low,
+                   (list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> ''))[1:200] AS w
+            FROM documents
+        ), sc AS (
+            SELECT doc_id, low,
+                   {scores}
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN regexp_matches(substr(low, 1, 200), '[一-鿿]')
+                      THEN 'zh'
+                    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es
+                         AND s_en > 0 THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                    WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM sc
+    """

@@ -160,6 +160,37 @@ def simhash64(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     return sums.select(id_col, sim.alias("simhash"))
 
 
+def simhash_portable(
+    df: DataFrame, text_col="text", id_col="doc_id", bits: int = 60
+) -> DataFrame:
+    """SimHash over md5-derived term hashes (first 15 hex chars -> 60-bit
+    int) instead of xxhash64 — same algorithm as `simhash64`, but every
+    step is expressible in ANSI SQL, so a DuckDB oracle can hash-match it
+    (the driver harness uses this variant; `simhash64` stays the engine
+    default because xxhash64 is cheaper JVM-side)."""
+    tok = (
+        _tokens(df, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    aggs = []
+    for i in range(bits):
+        bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{i}")
+        )
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(id_col, sim.alias("simhash"))
+
+
 def simhash_near_duplicates(
     df: DataFrame, text_col="text", id_col="doc_id", max_hamming: int = 3
 ) -> DataFrame:

@@ -23,7 +23,45 @@ _LANG_PROFILES = {
 def language_id(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """Heuristic language ID: stopword hits (weight 2) + distinctive
     character hits (weight 1); 'und' (undetermined) when nothing scores.
-    CJK is detected by Unicode range."""
+    CJK is detected by Unicode range (first 200 chars).
+
+    Fully JVM-side (whole-stage codegen, no Python in the loop) and
+    mirrorable in ANSI SQL — `language_id_udf` keeps the original
+    Arrow-batched formulation; tests assert the two agree."""
+    low = F.lower(F.col(text_col))
+    words = F.slice(
+        F.filter(F.split(low, r"\s+"), lambda x: x != ""), 1, 200
+    )
+
+    def score(lang):
+        stops, chars = _LANG_PROFILES[lang]
+        s = F.size(
+            F.array_intersect(words, F.array(*[F.lit(w) for w in sorted(stops)]))
+        ) * 2
+        if chars:
+            s = s + F.length(low) - F.length(
+                F.regexp_replace(low, f"[{chars}]", "")
+            )
+        return s
+
+    s_en, s_fr, s_de, s_es = (score(x) for x in ("en", "fr", "de", "es"))
+    is_zh = F.substring(low, 1, 200).rlike("[一-鿿]")
+    # first-wins tie-break in profile order (en, fr, de, es), require > 0
+    pred = (
+        F.when(is_zh, "zh")
+        .when((s_en >= s_fr) & (s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
+        .when((s_fr >= s_de) & (s_fr >= s_es) & (s_fr > 0), "fr")
+        .when((s_de >= s_es) & (s_de > 0), "de")
+        .when(s_es > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(id_col, pred.alias("lang_pred"))
+
+
+def language_id_udf(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Arrow-batched pandas-UDF formulation of `language_id` (the original
+    round-1 path) — kept as the semantics oracle for the expression
+    version; identical output."""
 
     @F.pandas_udf(StringType())
     def lid(texts: pd.Series) -> pd.Series:

@@ -50,6 +50,35 @@ def test_verify_jaccard_threshold(docs_df, spark):
     assert out[(0, 5)] == 0.0
 
 
+def test_simhash_portable(docs_df):
+    # the oracle-checkable md5/60-bit variant behaves like simhash64:
+    # identical text -> identical hash, and values are non-negative longs
+    sh = {r["doc_id"]: r["simhash"]
+          for r in dedup.simhash_portable(docs_df).collect()}
+    assert sh[0] == sh[1]
+    assert all(v >= 0 for v in sh.values())
+    assert sh[0] != sh[3]
+
+
+def test_language_id_expr_matches_udf(spark):
+    rows = [
+        (0, "the cat sat on the mat and it is happy"),
+        (1, "le chat est sur la table et il est très content"),
+        (2, "der hund ist nicht glücklich und die katze auch nicht"),
+        (3, "el perro y la gata es una historia que pasa por madrid"),
+        (4, "这是一个中文句子"),
+        (5, ""),
+        (6, "de que la"),          # fr/es tie -> first profile (fr) wins
+        (7, "9182 7364 !!"),       # nothing scores -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: r["lang_pred"]
+            for r in textstats.language_id(df).collect()}
+    udf = {r["doc_id"]: r["lang_pred"]
+           for r in textstats.language_id_udf(df).collect()}
+    assert expr == udf
+
+
 def test_simhash_near_duplicates(docs_df):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
     assert sh[0] == sh[1]  # identical text -> identical simhash
