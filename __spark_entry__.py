@@ -209,7 +209,10 @@ def _q_bm25_topk(spark, sf_dir):
 
 
 def _q_docid_assign(spark, sf_dir):
-    # J2/§2.5: deterministic dense id assignment (row_number over stable key)
+    # J2/§2.5: deterministic dense id assignment. DEMO-ONLY global window
+    # (single-task sort — fine at sf0.01, matching the DuckDB oracle's
+    # row_number); the ENGINE assigns ids scalably with the two-pass
+    # shard_offset + local_idx scheme (build.py _stage_ids), no global sort.
     w = Window.orderBy("source", "doc_id")
     return _docs(spark, sf_dir).select(
         "doc_id",

@@ -64,12 +64,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .lexer import term_counts
 
 # terms = "\n"-joined tokens (tokens never contain whitespace, so "\n" is
-# a safe delimiter); tfs = ","-joined decimal counts. Flat strings convert
-# through Arrow at C speed — list<string> columns cost per-element Python
-# conversion, which dominated the tokenize stage at 2M+ docs.
+# a safe delimiter); tfs = packed little-endian int32 bytes. Flat strings /
+# binary convert through Arrow at C speed — list<string> columns cost
+# per-element Python conversion, which dominated the tokenize stage at 2M+
+# docs; packed int32 beats the earlier ","-joined decimal string on both
+# sides (no str() per count at tokenize, np.frombuffer instead of text
+# parsing at postings build).
 TOK_SCHEMA = (
     "local_idx long, shard int, conv_id string, turn_idx int, role string, "
-    "doc_len int, terms string, tfs string"
+    "doc_len int, terms string, tfs binary"
 )
 
 POSTINGS_SCHEMA = (
@@ -167,7 +170,11 @@ def _make_tokenizer(shard_base: int = 0):
                 counts = term_counts(text)
                 dls[i] = sum(counts.values())
                 terms_col.append("\n".join(counts.keys()))
-                tfs_col.append(",".join(map(str, counts.values())))
+                tfs_col.append(
+                    np.fromiter(
+                        counts.values(), dtype=np.int32, count=len(counts)
+                    ).tobytes()
+                )
             yield pd.DataFrame(
                 {
                     "local_idx": doc_ids,
@@ -302,7 +309,9 @@ def _make_postings_builder(
         )
         dl_rep = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
         terms = np.array("\n".join(terms_s).split("\n"), dtype=object)
-        tfs = np.fromstring(",".join(pdf["tfs"].tolist()), dtype=np.int64, sep=",")
+        tfs = np.frombuffer(
+            b"".join(pdf["tfs"].tolist()), dtype=np.int32
+        ).astype(np.int64)
         # sort by (term, doc_id) via integer codes (factorize >> string sort)
         codes, uniq = pd.factorize(pd.Series(terms), sort=True)
         order = np.lexsort((doc_rep, codes))
@@ -514,9 +523,21 @@ def build_index(
 
     manifest = read_manifest(index_dir) if resume else []
     if not resume:
-        # fresh build: drop stale manifest so metrics reflect this build
+        # fresh build into a previously used dir: drop the stale manifest
+        # AND the stale data dirs. Dynamic partition overwrite only
+        # replaces shards present in the NEW build — a smaller rebuild
+        # (fewer shards) would otherwise leave ghost tok/postings shards
+        # that inflate n_docs/offsets and keep serving dead postings.
+        import shutil
+
         if os.path.exists(_manifest_path(index_dir)):
             os.remove(_manifest_path(index_dir))
+        if os.path.exists(_stats_path(index_dir)):
+            os.remove(_stats_path(index_dir))
+        for stale in (_tok_path(index_dir), _postings_path(index_dir),
+                      _term_stats_path(index_dir)):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
 
     ids_done = any(r["stage"] == "ids" and r["status"] == "done" for r in manifest)
     if ids_done:
@@ -543,6 +564,7 @@ def append_index(
     index_dir: str,
     cfg: BuildConfig | None = None,
     batch_label: str = "append",
+    dedupe_batch: bool = False,
 ) -> dict:
     """Incrementally index an append-only batch of new turns.
 
@@ -556,34 +578,98 @@ def append_index(
     upper bounds when the corpus avgdl has drifted (safe:
     norm(a_new)/norm(a_old) < a_new/a_old for a_new > a_old).
 
-    Crash-safe: stats.json and term_stats are only updated after the new
-    shards' postings are committed; a re-run of the same batch is
-    idempotent (same doc ids, same shard slots, dynamic overwrite) AS LONG
-    AS stats.json has not committed yet. Replaying a fully committed batch
-    would double-index it — streaming callers get a batch-id guard
-    (streaming.stream_index); manual callers own that dedup (e.g. check
-    the batch label in the manifest first).
+    Crash-safe with ``dedupe_batch=True`` (what streaming.stream_index
+    passes), via write-ahead manifest rows:
+
+      1. an ``append_intent`` row (batch label + the pinned bases:
+         base_docs, base_shards, base_total_len, partition count p) is
+         committed BEFORE any data mutates;
+      2. all data writes are deterministic functions of those bases and
+         idempotent (same doc ids, same shard slots, dynamic partition
+         overwrite), so a replay after a crash anywhere in the middle —
+         including after stats.json already advanced — recomputes
+         byte-identical state from the intent row's bases;
+      3. an ``append_commit`` row is appended only after postings, stats
+         AND term_stats are all committed. A replayed batch whose commit
+         row exists is skipped entirely.
+
+    Without ``dedupe_batch``, repeated labels are allowed (manual callers
+    own their dedup) and no intent pinning happens.
+
+    Encoding params (block_size/k1/b) are pinned to the values in
+    stats.json: appended shards MUST match the original build — a
+    block_size mismatch breaks per-block decode offsets and a k1/b
+    mismatch makes stored block max_norms unsafe for pruned search.
     """
     cfg = cfg or BuildConfig()
+    from dataclasses import replace as _dc_replace
+
     from .session import warm_workers
 
     warm_workers(spark)
     stats = read_stats(index_dir)
-    base_docs, base_shards = stats["n_docs"], stats["n_shards"]
+    if (cfg.block_size, cfg.k1, cfg.b) != (
+        stats["block_size"], stats["k1"], stats["b"]
+    ):
+        cfg = _dc_replace(
+            cfg, block_size=int(stats["block_size"]),
+            k1=float(stats["k1"]), b=float(stats["b"]),
+        )
+
+    intent = None
+    if dedupe_batch:
+        manifest = read_manifest(index_dir)
+        if any(
+            r.get("stage") == "append_commit" and r.get("batch") == batch_label
+            for r in manifest
+        ):
+            return stats  # batch fully committed earlier: exactly-once skip
+        intent = next(
+            (r for r in manifest
+             if r.get("stage") == "append_intent" and r.get("batch") == batch_label),
+            None,
+        )
+
     lineage = json.dumps(
         {"source": "transcripts", "batch": batch_label, **cfg.extra_lineage},
         sort_keys=True,
     )
 
     t0 = time.time()
-    if cfg.id_partitions:
-        p = cfg.id_partitions
+    if intent is not None:
+        # crash replay: reuse the pinned bases, ignore the (possibly
+        # already advanced) stats.json values
+        base_docs = int(intent["base_docs"])
+        base_shards = int(intent["base_shards"])
+        base_total_len = int(intent["base_total_len"])
+        p = int(intent["p"])
     else:
-        n_est = new_transcripts.count()
-        p = max(
-            spark.sparkContext.defaultParallelism,
-            math.ceil(max(n_est, 1) / cfg.shard_docs),
+        base_docs, base_shards = stats["n_docs"], stats["n_shards"]
+        base_total_len = int(
+            stats.get("total_len", int(round(stats["avgdl"] * base_docs)))
         )
+        if cfg.id_partitions:
+            p = cfg.id_partitions
+        else:
+            n_est = new_transcripts.count()
+            p = max(
+                spark.sparkContext.defaultParallelism,
+                math.ceil(max(n_est, 1) / cfg.shard_docs),
+            )
+        if dedupe_batch:
+            _append_manifest(
+                index_dir,
+                [{
+                    "stage": "append_intent", "shard": -1, "status": "pending",
+                    "batch": batch_label, "base_docs": int(base_docs),
+                    "base_shards": int(base_shards),
+                    "base_total_len": base_total_len, "p": int(p),
+                    "lineage": lineage,
+                    "finished_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                }],
+            )
     parted = (
         new_transcripts.repartitionByRange(p, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
@@ -623,9 +709,9 @@ def append_index(
     n_new = acc - base_docs
     new_stats = dict(stats)
     new_stats["n_docs"] = base_docs + n_new
-    new_stats["total_len"] = stats.get(
-        "total_len", int(round(stats["avgdl"] * base_docs))
-    ) + new_len
+    # base_total_len, not stats["total_len"]: on a crash replay stats.json
+    # may already include this batch's length
+    new_stats["total_len"] = base_total_len + new_len
     new_stats["shard_offsets"] = {str(s): o for s, o in offsets.items()}
     new_stats["shard_counts"] = {str(s): c for s, c in counts.items()}
     new_stats["avgdl"] = (
@@ -646,6 +732,18 @@ def append_index(
     _stage_postings(spark, index_dir, cfg, new_stats, new_shards, lineage)
     _write_stats(index_dir, new_stats)
     _stage_term_stats(spark, index_dir)
+    # commit point: the batch is only "done" once postings + stats +
+    # term_stats are all on disk (streaming keys exactly-once on this row)
+    _append_manifest(
+        index_dir,
+        [{
+            "stage": "append_commit", "shard": -1, "status": "done",
+            "batch": batch_label, "n_postings": n_new, "n_terms": 0,
+            "n_bytes": 0, "lineage": lineage,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }],
+    )
     return new_stats
 
 

@@ -271,6 +271,7 @@ class IndexReader:
         # at build time). If the conf cannot be raised, queries fall
         # back to the groupBy(shard) exchange plan (slower, always safe).
         self._whole_file_tasks = False
+        self._conf_priors: dict[str, str] = {}
         max_file = self.stats.get("max_postings_file_bytes")
         if max_file is not None:  # indexes that recorded the invariant
             need = int(max_file) + 1
@@ -279,12 +280,12 @@ class IndexReader:
                     spark.conf.get("spark.sql.files.maxPartitionBytes")
                 )
                 if cur is None or cur < need:
-                    spark.conf.set(
-                        "spark.sql.files.maxPartitionBytes", str(need)
-                    )
-                    spark.conf.set(
-                        "spark.sql.files.openCostInBytes", str(need)
-                    )
+                    # remember priors so close() can undo the session-wide
+                    # raise (an unrelated later scan must not inherit it)
+                    for key in ("spark.sql.files.maxPartitionBytes",
+                                "spark.sql.files.openCostInBytes"):
+                        self._conf_priors[key] = spark.conf.get(key)
+                        spark.conf.set(key, str(need))
                 self._whole_file_tasks = True
             except Exception:
                 pass
@@ -306,6 +307,30 @@ class IndexReader:
         from .session import warm_workers
 
         warm_workers(spark)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        """Restore any session confs this reader raised (and unpersist the
+        postings cache). Call when done querying — pending DataFrames from
+        search_df must be collected first, since the whole-file-task
+        invariant their plan relies on goes away with the conf."""
+        for key, val in self._conf_priors.items():
+            try:
+                self.spark.conf.set(key, val)
+            except Exception:
+                pass
+        self._conf_priors = {}
+        if self._cached_postings is not None:
+            self._cached_postings.unpersist()
+            self._cached_postings = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     # -- metadata lookups ------------------------------------------------
 

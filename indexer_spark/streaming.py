@@ -9,11 +9,15 @@ query concurrent with maintenance sees a consistent (slightly stale)
 index; the pruned scorer stays exact across batches via the per-shard
 avgdl_build upper-bound rescale (see build.append_index).
 
-Exactly-once: foreachBatch can replay a batch after failure; append_index
-is idempotent for a replayed batch ONLY if stats.json was not yet updated
-(same id/shard bases). For at-least-once sources replayed after a
-completed append, pass a checkpointed `batch_id` guard — `stream_index`
-does this: a batch id <= the last recorded one is skipped.
+Exactly-once: foreachBatch can replay a batch after failure. append_index
+with ``dedupe_batch=True`` write-ahead-logs an ``append_intent`` manifest
+row (pinning the id/shard bases) before mutating anything and appends an
+``append_commit`` row only after postings + stats + term_stats are all on
+disk — so a replay after a crash ANYWHERE in the window recomputes
+identical state from the pinned bases, and a replay of a fully committed
+batch is skipped on the commit row. The batch-id guard below keys on
+commit rows only (an intent row without its commit row means the batch
+must be re-run, not skipped).
 """
 
 from __future__ import annotations
@@ -24,13 +28,18 @@ from .build import BuildConfig, append_index, read_manifest
 
 
 def _last_batch_id(index_dir: str) -> int:
+    """Highest fully COMMITTED stream batch id (append_commit rows only:
+    an ids/intent row for a batch whose postings+stats never committed
+    must not mask a replay — that was a silent-batch-loss crash window)."""
     last = -1
     for r in read_manifest(index_dir):
-        lin = r.get("lineage", "")
-        if '"batch": "stream-' in lin:
+        if r.get("stage") != "append_commit":
+            continue
+        b = r.get("batch", "")
+        if b.startswith("stream-"):
             try:
-                last = max(last, int(lin.split('"stream-')[1].split('"')[0]))
-            except (IndexError, ValueError):
+                last = max(last, int(b.split("stream-", 1)[1]))
+            except ValueError:
                 pass
     return last
 
@@ -52,7 +61,8 @@ def stream_index(
         if batch_id <= _last_batch_id(index_dir):
             return  # replayed batch already committed
         append_index(
-            spark, batch_df, index_dir, cfg, batch_label=f"stream-{batch_id}"
+            spark, batch_df, index_dir, cfg,
+            batch_label=f"stream-{batch_id}", dedupe_batch=True,
         )
 
     writer = stream_df.writeStream.foreachBatch(handle).outputMode("append")

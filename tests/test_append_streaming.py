@@ -125,6 +125,132 @@ def test_append_is_idempotent_before_stats_commit(spark, tmp_path):
         assert r1.search(q, 10) == r2.search(q, 10)
 
 
+def test_fresh_rebuild_removes_stale_shards(spark, tmp_path):
+    """A fresh (resume=False) rebuild with FEWER shards into a used dir
+    must not leave ghost tok/postings shards from the previous build
+    (dynamic partition overwrite only replaces shards present in the new
+    data)."""
+    a, _b = _batches(spark)
+    d = str(tmp_path / "rebuilt")
+    ref = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(a), d,
+                BuildConfig(block_size=32, id_partitions=4))
+    small = a.iloc[:200]
+    build_index(spark, spark.createDataFrame(small), d,
+                BuildConfig(block_size=32, id_partitions=2))
+    build_index(spark, spark.createDataFrame(small), ref,
+                BuildConfig(block_size=32, id_partitions=2))
+    assert read_stats(d)["n_docs"] == read_stats(ref)["n_docs"]
+    for sub in ("tok", "postings"):
+        shards = {
+            p for p in os.listdir(os.path.join(d, sub))
+            if p.startswith("shard=")
+        }
+        assert shards <= {"shard=0", "shard=1"}, f"ghost {sub} shards: {shards}"
+    r1, r2 = IndexReader(spark, d), IndexReader(spark, ref)
+    for q in ["run dog", "fast"]:
+        assert r1.search(q, 10) == r2.search(q, 10)
+
+
+def test_append_pins_encoding_params(spark, tmp_path):
+    """Appending with a mismatched block_size/k1/b must use the values the
+    index was built with (a block_size mismatch corrupts per-block decode
+    offsets; a k1/b mismatch makes stored block maxima unsafe)."""
+    a, b = _batches(spark)
+    d = str(tmp_path / "pinned")
+    build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+    append_index(
+        spark, spark.createDataFrame(b), d,
+        BuildConfig(block_size=128, k1=2.0, b=0.5, id_partitions=3),
+    )
+    st = read_stats(d)
+    assert (st["block_size"], st["k1"], st["b"]) == (32, 1.2, 0.75)
+    oracle = _oracle_for(a, b)
+    reader = IndexReader(spark, d)
+    for q in ["run dog", "fast table"]:
+        want = [x[0] for x in oracle.search_bm25(q, 10)]
+        assert [x[0] for x in reader.search(q, 10, mode="pruned")] == want
+
+
+def test_stream_crash_window_replays_not_lost(spark, tmp_path):
+    """The silent-batch-loss window: an intent/ids manifest row written
+    before postings+stats committed must NOT mask the replay. Only
+    append_commit rows advance the batch-id guard, and a replay after a
+    mid-append crash recomputes identical state from the pinned bases."""
+    import json
+
+    from indexer_spark.build import _append_manifest
+    from indexer_spark.streaming import _last_batch_id
+
+    a, b = _batches(spark)
+    d = str(tmp_path / "crashy")
+    build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+
+    # crash window 1: intent logged, nothing else happened
+    _append_manifest(d, [{
+        "stage": "append_intent", "shard": -1, "status": "pending",
+        "batch": "stream-0", "base_docs": 800, "base_shards": 3,
+        "base_total_len": read_stats(d)["total_len"], "p": 3,
+        "lineage": "{}", "finished_at": "t",
+    }])
+    assert _last_batch_id(d) == -1  # replay must run, not be skipped
+    append_index(spark, spark.createDataFrame(b), d, BuildConfig(**CFG),
+                 batch_label="stream-0", dedupe_batch=True)
+    assert read_stats(d)["n_docs"] == 1400
+    assert _last_batch_id(d) == 0
+
+    # crash window 2: everything committed EXCEPT the commit row
+    # (stats.json already advanced) -> replay must be a no-op state-wise
+    rows = [r for r in
+            [json.loads(x) for x in open(os.path.join(d, "manifest.jsonl"))]
+            if r.get("stage") != "append_commit"]
+    with open(os.path.join(d, "manifest.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    assert _last_batch_id(d) == -1
+    append_index(spark, spark.createDataFrame(b), d, BuildConfig(**CFG),
+                 batch_label="stream-0", dedupe_batch=True)
+    assert read_stats(d)["n_docs"] == 1400  # NOT double-indexed
+    assert _last_batch_id(d) == 0
+
+    # fully committed replay: exactly-once skip
+    append_index(spark, spark.createDataFrame(b), d, BuildConfig(**CFG),
+                 batch_label="stream-0", dedupe_batch=True)
+    assert read_stats(d)["n_docs"] == 1400
+
+    oracle = _oracle_for(a, b)
+    reader = IndexReader(spark, d)
+    for q in ["run dog", "fast table"]:
+        want = [x[0] for x in oracle.search_bm25(q, 10)]
+        assert [x[0] for x in reader.search(q, 10)] == want
+
+
+def test_reader_close_restores_session_confs(spark, tmp_path):
+    """IndexReader may raise maxPartitionBytes/openCostInBytes for the
+    whole-file-scan invariant; close() must restore the priors so later
+    unrelated scans don't inherit tiny split sizes."""
+    a, _b = _batches(spark)
+    d = str(tmp_path / "confs")
+    build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+    keys = ("spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes")
+    # force the reader to raise the conf by lowering it first
+    priors = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "1024")
+        q = a["text"].iloc[0].split()[0]  # guaranteed in-vocabulary
+        with IndexReader(spark, d) as r:
+            assert r._whole_file_tasks
+            assert r.search(q, 5)  # works while raised
+            raised = {k: spark.conf.get(k) for k in keys}
+            assert all(int(v) > 1024 for v in raised.values())
+        assert {k: spark.conf.get(k) for k in keys} == {k: "1024" for k in keys}
+    finally:
+        for k, v in priors.items():
+            spark.conf.set(k, v)
+
+
 def test_streaming_maintenance(spark, tmp_path):
     """Two parquet drops consumed by a streaming query via foreachBatch
     append: the final index equals the batch-built equivalent."""
