@@ -93,6 +93,8 @@ class BuildConfig:
     id_partitions: int | None = None
     row_group_bytes: int = 1 << 20  # small parquet row groups on postings
     #                                 => term-predicate pruning within files
+    shard_map_json_max: int = 4096  # above this many shards, offsets/counts
+    #                                 live in a parquet shard_map table
     extra_lineage: dict = field(default_factory=dict)
 
 
@@ -120,12 +122,67 @@ def _append_manifest(index_dir: str, rows: list[dict]) -> None:
     os.replace(tmp, _manifest_path(index_dir))
 
 
+def _shard_map_path(d): return os.path.join(d, "shard_map")
+
+
+# above this many shards the offsets/counts map graduates out of
+# stats.json into a parquet table (broadcastable; JSON would balloon and
+# every stats read would parse it). Tunable via BuildConfig.
+SHARD_MAP_JSON_MAX = 4096
+
+
 def read_stats(index_dir: str) -> dict:
+    """Read stats.json; when the shard map graduated to parquet
+    (stats['shard_map'] == 'parquet'), load offsets/counts from the
+    shard_map table so every consumer sees the same dict shape. (At
+    10^12-turn scale a reader keeps the table as sorted arrays / a
+    broadcast DF instead of a Python dict — docstore() already reads the
+    parquet directly.)"""
     with open(_stats_path(index_dir)) as f:
-        return json.load(f)
+        stats = json.load(f)
+    if stats.get("shard_map") == "parquet" and "shard_offsets" not in stats:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_shard_map_path(index_dir))
+        shards = t.column("shard").to_pylist()
+        stats["shard_offsets"] = dict(
+            zip(map(str, shards), map(int, t.column("offset").to_pylist()))
+        )
+        stats["shard_counts"] = dict(
+            zip(map(str, shards), map(int, t.column("count").to_pylist()))
+        )
+    return stats
 
 
 def _write_stats(index_dir: str, stats: dict) -> None:
+    """Atomically commit stats.json. If the shard map is (or must become)
+    parquet-backed, (re)write the shard_map table and keep the big dicts
+    OUT of the JSON."""
+    stats = dict(stats)
+    n_shards_mapped = len(stats.get("shard_offsets", ()))
+    threshold = int(stats.get("shard_map_json_max", SHARD_MAP_JSON_MAX))
+    if stats.get("shard_map") == "parquet" or n_shards_mapped > threshold:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        items = sorted(
+            (int(s), int(o)) for s, o in stats["shard_offsets"].items()
+        )
+        counts = stats["shard_counts"]
+        tbl = pa.table({
+            "shard": pa.array([s for s, _ in items], pa.int32()),
+            "offset": pa.array([o for _, o in items], pa.int64()),
+            "count": pa.array(
+                [int(counts[str(s)]) for s, _ in items], pa.int64()
+            ),
+        })
+        os.makedirs(_shard_map_path(index_dir), exist_ok=True)
+        tmp = os.path.join(_shard_map_path(index_dir), ".map.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(_shard_map_path(index_dir), "map.parquet"))
+        stats["shard_map"] = "parquet"
+        stats.pop("shard_offsets", None)
+        stats.pop("shard_counts", None)
     tmp = _stats_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(stats, f, indent=1)
@@ -255,9 +312,10 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
         # shard == stage-1 partition id; empty partitions own no file but
         # keep their slot so resume bookkeeping stays dense
         "n_shards": int(p),
-        # doc_id = shard_offsets[shard] + local_idx; at 10^12 scale this
-        # map outgrows JSON and becomes a tiny parquet/broadcast table —
-        # same lookup, different container
+        # doc_id = shard_offsets[shard] + local_idx; past
+        # shard_map_json_max shards, _write_stats moves the map into the
+        # parquet shard_map table (same lookup, broadcastable container)
+        "shard_map_json_max": int(cfg.shard_map_json_max),
         "shard_offsets": {str(s): o for s, o in offsets.items()},
         "shard_counts": {str(s): c for s, c in counts.items()},
     }
@@ -535,7 +593,7 @@ def build_index(
         if os.path.exists(_stats_path(index_dir)):
             os.remove(_stats_path(index_dir))
         for stale in (_tok_path(index_dir), _postings_path(index_dir),
-                      _term_stats_path(index_dir)):
+                      _term_stats_path(index_dir), _shard_map_path(index_dir)):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
 
@@ -747,16 +805,201 @@ def append_index(
     return new_stats
 
 
+def update_index(
+    spark: SparkSession,
+    changed: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    batch_label: str = "update",
+) -> dict:
+    """Re-index modified turns IN PLACE — the reference's freshness
+    re-index path (/root/reference/src/lib.rs:210-224: a file whose mtime
+    is newer than indexed_at is re-tokenized), minus its duplicate-postings
+    bug (quirk Q2: the reference re-adds postings without removing the old
+    ones; here the owning shard is rebuilt, so old postings cannot
+    survive).
+
+    ``changed`` columns: (conv_id, turn_idx, text). Semantics:
+      - a key that exists in the index gets its text replaced; its doc_id
+        is STABLE (same shard slot, same local_idx), so ids, N and
+        shard_offsets never change;
+      - text '' tombstones the turn: it keeps its id, counts in N
+        (quirk Q1: empty docs count), and simply owns no postings
+        (null text is indistinguishable from "no change" after the left
+        join and is ignored — use '' to tombstone);
+      - keys not present in the index are ignored (append_index is the
+        path for new turns).
+
+    Shard-granular: only shards owning a changed key have their tok +
+    postings files rewritten (dynamic partition overwrite); stats
+    (total_len/avgdl) and term_stats are refreshed. avgdl drift in either
+    direction stays safe for pruned search: upward drift is rescaled by
+    the reader (per-shard avgdl_build), downward drift only makes stored
+    block maxima looser upper bounds.
+
+    Scale note: locating owners is one broadcast semi-join over the tok
+    table (the change set is small by assumption). A 10^12-turn
+    deployment would keep a (conv_id -> shard) lookup table to prune that
+    scan; the per-shard rewrite cost is unchanged.
+    """
+    cfg = cfg or BuildConfig()
+    from dataclasses import replace as _dc_replace
+
+    from .session import warm_workers
+
+    warm_workers(spark)
+    stats = read_stats(index_dir)
+    if (cfg.block_size, cfg.k1, cfg.b) != (
+        stats["block_size"], stats["k1"], stats["b"]
+    ):
+        cfg = _dc_replace(
+            cfg, block_size=int(stats["block_size"]),
+            k1=float(stats["k1"]), b=float(stats["b"]),
+        )
+    lineage = json.dumps(
+        {"source": "transcripts", "batch": batch_label, **cfg.extra_lineage},
+        sort_keys=True,
+    )
+    t0 = time.time()
+
+    keys = (
+        changed.select(
+            "conv_id", "turn_idx", F.col("text").alias("_new_text")
+        )
+        .dropDuplicates(["conv_id", "turn_idx"])
+    )
+    tok = spark.read.parquet(_tok_path(index_dir))
+    affected = sorted(
+        r["shard"]
+        for r in tok.join(F.broadcast(keys), ["conv_id", "turn_idx"])
+        .select("shard").distinct().collect()
+    )
+    if not affected:
+        return stats
+    pre_len = {
+        r["shard"]: int(r["tl"])
+        for r in tok.filter(F.col("shard").isin(affected))
+        .groupBy("shard").agg(F.sum("doc_len").alias("tl")).collect()
+    }
+
+    def retok(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = pdf["_new_text"].notna()
+            if mask.any():
+                pdf = pdf.copy()
+                for i in np.nonzero(mask.to_numpy())[0]:
+                    counts = term_counts(pdf["_new_text"].iloc[int(i)])
+                    pdf.iloc[
+                        int(i), pdf.columns.get_loc("doc_len")
+                    ] = sum(counts.values())
+                    pdf.iloc[
+                        int(i), pdf.columns.get_loc("terms")
+                    ] = "\n".join(counts.keys())
+                    pdf.iloc[int(i), pdf.columns.get_loc("tfs")] = (
+                        np.fromiter(
+                            counts.values(), dtype=np.int32, count=len(counts)
+                        ).tobytes()
+                    )
+            yield pdf[[
+                "local_idx", "shard", "conv_id", "turn_idx", "role",
+                "doc_len", "terms", "tfs",
+            ]]
+
+    sub = (
+        tok.filter(F.col("shard").isin(affected))
+        .join(F.broadcast(keys), ["conv_id", "turn_idx"], "left")
+        # one task per shard (hash repartition on shard) => each rewritten
+        # shard dir keeps exactly ONE file, preserving the whole-file-task
+        # invariant the shuffle-free paths rely on
+        .repartition(len(affected), "shard")
+    )
+    (
+        sub.mapInPandas(retok, schema=TOK_SCHEMA)
+        .write.partitionBy("shard")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(_tok_path(index_dir))
+    )
+
+    post = (
+        spark.read.parquet(_tok_path(index_dir))
+        .filter(F.col("shard").isin(affected))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_len").alias("tl"),
+            F.max("local_idx").alias("max_local"),
+        )
+        .collect()
+    )
+    counts = {int(s): int(c) for s, c in stats["shard_counts"].items()}
+    new_len_delta = 0
+    for r in post:
+        s = int(r["shard"])
+        assert r["max_local"] + 1 == r["n"] == counts[s], (
+            "update changed shard row population"
+        )
+        new_len_delta += int(r["tl"] or 0) - pre_len.get(s, 0)
+    new_stats = dict(stats)
+    base_total = int(
+        stats.get("total_len", int(round(stats["avgdl"] * stats["n_docs"])))
+    )
+    new_stats["total_len"] = base_total + new_len_delta
+    new_stats["avgdl"] = (
+        new_stats["total_len"] / new_stats["n_docs"]
+        if new_stats["n_docs"] else 0.0
+    )
+    # postings for the affected shards are rebuilt against the NEW avgdl;
+    # untouched shards keep their recorded avgdl_build and the reader
+    # rescales their block maxima if avgdl rose
+    _stage_postings(spark, index_dir, cfg, new_stats, affected, lineage)
+    _write_stats(index_dir, new_stats)
+    _stage_term_stats(spark, index_dir)
+    _append_manifest(
+        index_dir,
+        [{
+            "stage": "update_commit", "shard": -1, "status": "done",
+            "batch": batch_label, "n_terms": 0,
+            "n_postings": len(affected), "n_bytes": 0, "lineage": lineage,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }],
+    )
+    return new_stats
+
+
+def delete_turns(
+    spark: SparkSession,
+    keys: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Tombstone turns: update_index with empty text — the turn keeps its
+    doc_id and stays in N (quirk Q1), but owns no postings, so it can
+    never match a query. ``keys`` columns: (conv_id, turn_idx)."""
+    changed = keys.select("conv_id", "turn_idx", F.lit("").alias("text"))
+    return update_index(spark, changed, index_dir, cfg, batch_label="delete")
+
+
 def docstore(spark: SparkSession, index_dir: str) -> DataFrame:
     """Docstore view (tree.rs:21-31 analog): the forward index minus the
     terms column — parquet column pruning makes this a cheap projection.
     doc_id = shard_offset + local_idx via a broadcast join on the tiny
     shard->offset map (at 10^12 scale the map is a broadcast table)."""
     stats = read_stats(index_dir)
-    off = spark.createDataFrame(
-        [(int(s), int(o)) for s, o in stats["shard_offsets"].items()],
-        "shard int, _off long",
-    )
+    if stats.get("shard_map") == "parquet":
+        # graduated container: read + broadcast the parquet table directly
+        # (no driver dict round-trip)
+        off = spark.read.parquet(_shard_map_path(index_dir)).select(
+            "shard", F.col("offset").alias("_off")
+        )
+    else:
+        off = spark.createDataFrame(
+            [(int(s), int(o)) for s, o in stats["shard_offsets"].items()],
+            "shard int, _off long",
+        )
     return (
         spark.read.parquet(_tok_path(index_dir))
         .join(F.broadcast(off), "shard")

@@ -298,12 +298,17 @@ class IndexReader:
         # shard -> upper-bound rescale for appended indexes whose avgdl
         # drifted upward since a shard's block maxima were computed
         avgdl_now = self.stats["avgdl"]
-        self._ub_scale: dict[int, float] = {}
+        # LAST postings row per shard wins (a shard rebuilt by
+        # update_index supersedes its older manifest rows)
+        last_ab: dict[int, float] = {}
         for r in read_manifest(index_dir):
             if r["stage"] == "postings" and "avgdl_build" in r:
-                ab = r["avgdl_build"]
-                if ab > 0 and avgdl_now > ab:
-                    self._ub_scale[r["shard"]] = avgdl_now / ab
+                last_ab[r["shard"]] = r["avgdl_build"]
+        self._ub_scale: dict[int, float] = {
+            s: avgdl_now / ab
+            for s, ab in last_ab.items()
+            if ab > 0 and avgdl_now > ab
+        }
         from .session import warm_workers
 
         warm_workers(spark)

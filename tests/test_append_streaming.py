@@ -125,6 +125,105 @@ def test_append_is_idempotent_before_stats_commit(spark, tmp_path):
         assert r1.search(q, 10) == r2.search(q, 10)
 
 
+def test_update_reindexes_changed_turns(spark, tmp_path):
+    """The reference's freshness re-index (lib.rs:210-224) minus its
+    duplicate-postings bug Q2: update a turn, tombstone another; ids are
+    stable, the old text stops matching, the new text matches exactly
+    once, and full BM25 parity vs an oracle over the modified corpus
+    holds (the Q2 bug would double postings and inflate scores)."""
+    import math
+
+    from indexer_spark.build import delete_turns, update_index
+
+    a = gen_transcripts(800, seed=31)
+    sa = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    d = str(tmp_path / "upd")
+    build_index(spark, spark.createDataFrame(a), d,
+                BuildConfig(block_size=32, id_partitions=3))
+    texts = sa["text"].tolist()
+    old5_word = texts[5].split()[0]
+    old17_word = texts[17].split()[0]
+    texts[5] = "zzmarker flux polymerization zzmarker"
+    texts[17] = ""
+
+    changed = spark.createDataFrame(
+        [(sa["conv_id"][5], int(sa["turn_idx"][5]), texts[5])],
+        "conv_id string, turn_idx int, text string",
+    )
+    update_index(spark, changed, d)
+    dels = spark.createDataFrame(
+        [(sa["conv_id"][17], int(sa["turn_idx"][17]))],
+        "conv_id string, turn_idx int",
+    )
+    stats = delete_turns(spark, dels, d)
+    assert stats["n_docs"] == 800  # N unchanged (quirk Q1: empties count)
+
+    oracle = OracleIndex(list(enumerate(texts)))
+    reader = IndexReader(spark, d)
+    got = reader.search("zzmarker", 10)
+    assert got and got[0][0] == 5  # stable id, new text matches
+    want = oracle.search_bm25("zzmarker", 10)
+    assert [x[0] for x in got] == [x[0] for x in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], rel_tol=1e-9)  # anti-Q2: no double tf
+    # tombstoned turn matches nothing anymore
+    assert 17 not in [
+        x[0] for x in reader.search(old17_word, 800, mode="exhaustive")
+    ]
+    for q in [old5_word, old17_word, "zzmarker flux", "run dog"]:
+        want = oracle.search_bm25(q, 10)
+        got = reader.search(q, 10, mode="exhaustive")
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for g, w in zip(got, want):
+            assert math.isclose(g[1], w[1], rel_tol=1e-9)
+    # pruned mode stays exact across the rebuilt/untouched shard mix
+    for q in ["zzmarker", "run dog"]:
+        assert reader.search(q, 10, mode="pruned") == reader.search(
+            q, 10, mode="exhaustive"
+        )
+
+
+def test_shard_map_parquet_graduation(spark, tmp_path):
+    """Past shard_map_json_max shards, offsets/counts live in the parquet
+    shard_map table instead of stats.json; build, query, resolve,
+    docstore and append all work through the graduated container."""
+    import json
+
+    from indexer_spark.build import docstore
+
+    pdf = gen_transcripts(512, seed=41)
+    d = str(tmp_path / "bigmap")
+    cfg = BuildConfig(block_size=32, id_partitions=128, shard_map_json_max=16)
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+
+    raw = json.load(open(os.path.join(d, "stats.json")))
+    assert raw.get("shard_map") == "parquet"
+    assert "shard_offsets" not in raw and "shard_counts" not in raw
+    assert os.path.exists(os.path.join(d, "shard_map", "map.parquet"))
+    stats = read_stats(d)  # auto-loads the parquet container
+    assert stats["n_docs"] == 512
+    assert len(stats["shard_offsets"]) > 16
+
+    sa = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = OracleIndex(list(enumerate(sa["text"].tolist())))
+    reader = IndexReader(spark, d)
+    q = sa["text"].iloc[0].split()[0]
+    got = reader.search(q, 10)
+    assert [x[0] for x in got] == [x[0] for x in oracle.search_bm25(q, 10)]
+    assert reader.resolve(got).count() == len(got)
+    assert docstore(spark, d).count() == 512
+
+    b = gen_transcripts(100, seed=42)
+    b["conv_id"] = "zz_" + b["conv_id"]
+    append_index(spark, spark.createDataFrame(b), d,
+                 BuildConfig(block_size=32, id_partitions=4))
+    raw2 = json.load(open(os.path.join(d, "stats.json")))
+    assert raw2.get("shard_map") == "parquet" and "shard_offsets" not in raw2
+    st2 = read_stats(d)
+    assert st2["n_docs"] == 612
+    assert len(st2["shard_offsets"]) == len(stats["shard_offsets"]) + 4
+
+
 def test_fresh_rebuild_removes_stale_shards(spark, tmp_path):
     """A fresh (resume=False) rebuild with FEWER shards into a used dir
     must not leave ghost tok/postings shards from the previous build
