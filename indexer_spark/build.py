@@ -544,7 +544,14 @@ def _stage_postings(
 
 def _stage_term_stats(spark, index_dir) -> None:
     post = spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
-    ts = post.groupBy("term").agg(F.sum("df").alias("df"))
+    # nbytes = compressed postings payload per term: the reader's driver
+    # fast path keys on it (small matched sets skip the Spark job)
+    ts = post.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum(
+            F.length("docs") + F.length("tfs") + F.length("dls")
+        ).alias("nbytes"),
+    )
     np_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 8)
     (
         ts.repartitionByRange(np_parts, "term")

@@ -254,17 +254,33 @@ class IndexReader:
     tree.rs:251-265 — but stateless: all state is in tables + stats)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache_postings: bool = False):
+                 cache_postings: bool = False,
+                 fast_path_bytes: int = 32 << 20):
         """``cache_postings`` persists the postings table in executor
         memory (Spark's columnar cache, LRU-evicted) for a warm query
         service: repeated queries skip parquet IO at the cost of losing
         scan-time pushdown (the in-memory filter is still columnar). At
         10^12 scale you cache the hot subset the same way — eviction
-        keeps it bounded."""
+        keeps it bounded.
+
+        ``fast_path_bytes``: when the matched terms' total compressed
+        postings payload (term_stats ``nbytes``) is below this, search()
+        skips the Spark job entirely — pyarrow reads the matched rows
+        (term-predicate row-group pruning) and the SAME numpy exhaustive
+        scorer runs driver-side, so results are bit-identical to the
+        distributed plan. This removes the ~0.3-0.5 s local job-launch
+        floor for typical queries; huge-postings queries (hot terms) fall
+        through to the distributed plan. 0 disables. The 10^12-scale
+        analog is a query-service node scoring small matched sets from
+        the postings store directly, keeping Spark for the heavy ones."""
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
+        self.fast_path_bytes = fast_path_bytes
+        self.last_path: str | None = None  # "fast" | "distributed"
         self._df_cache: dict[str, int] = {}
+        self._nbytes_cache: dict[str, int] = {}
+        self._has_nbytes: bool | None = None
         self._cached_postings = None
         # shuffle-free scoring requires whole-file scan tasks: pin the
         # split size above the largest committed postings file (recorded
@@ -356,16 +372,55 @@ class IndexReader:
                 for t in missing:
                     self._df_cache[t] = 0
                 return {t: self._df_cache[t] for t in terms}
+            self._has_nbytes = "nbytes" in ds.schema.names
             tbl = ds.to_table(filter=pads.field("term").isin(missing))
+            tlist = tbl.column("term").to_pylist()
             found = dict(
-                zip(
-                    tbl.column("term").to_pylist(),
-                    (int(x) for x in tbl.column("df").to_pylist()),
-                )
+                zip(tlist, (int(x) for x in tbl.column("df").to_pylist()))
             )
+            if self._has_nbytes:
+                nb = dict(
+                    zip(tlist, (int(x) for x in tbl.column("nbytes").to_pylist()))
+                )
+                for t in missing:
+                    self._nbytes_cache[t] = nb.get(t, 0)
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
+
+    def _fast_scored(self, present: list[str], scorer) -> list | None:
+        """Driver fast path: when the matched postings payload is small
+        (per-term nbytes from term_stats), read the matched rows with
+        pyarrow (hive shard partitioning; term predicate prunes row
+        groups via the term-sorted layout) and run the SAME numpy
+        exhaustive scorer a distributed task would run — identical
+        arithmetic, identical results, no Spark job. Returns None when
+        the payload exceeds fast_path_bytes (or the index predates the
+        nbytes column), falling back to the distributed plan."""
+        if self.fast_path_bytes <= 0 or not self._has_nbytes:
+            return None
+        if self._cached_postings is not None:
+            return None  # caller opted into the executor cache path
+        total = sum(self._nbytes_cache.get(t, 0) for t in present)
+        if total > self.fast_path_bytes:
+            return None
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(
+            _postings_path(self.index_dir), format="parquet",
+            partitioning="hive",
+        )
+        tbl = ds.to_table(
+            columns=["term", "df", "docs", "tfs", "dls"],
+            filter=pads.field("term").isin(present),
+        )
+        pdf = tbl.to_pandas()
+        out = scorer(pdf)
+        self.last_path = "fast"
+        return [
+            (int(d), float(s))
+            for d, s in zip(out["doc_id"].to_numpy(), out["score"].to_numpy())
+        ]
 
     def _postings_for(self, terms: list[str]) -> DataFrame:
         from .build import POSTINGS_SCHEMA
@@ -384,7 +439,26 @@ class IndexReader:
     def search(
         self, query: str, k: int = 10, mode: str = "pruned"
     ) -> list[tuple[int, float]]:
-        """BM25 top-k -> [(doc_id, score)]; mode 'pruned' or 'exhaustive'."""
+        """BM25 top-k -> [(doc_id, score)]; mode 'pruned' or 'exhaustive'.
+
+        Small matched postings sets take the driver fast path (see
+        _fast_scored) regardless of mode — its exhaustive scoring is
+        result-identical to both distributed modes."""
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return []
+        dfs = self.global_dfs(terms)
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return []
+        st = self.stats
+        idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in present}
+        fast = self._fast_scored(
+            present,
+            _make_exhaustive_scorer(idf, st["k1"], st["b"], st["avgdl"], k, "bm25"),
+        )
+        if fast is not None:
+            return fast
         df = self.search_df(query, k, mode)
         if df is None:
             return []
@@ -415,6 +489,7 @@ class IndexReader:
         scored = self._apply_scorer(
             self._postings_for(present).select(*cols), scorer
         )
+        self.last_path = "distributed"
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _apply_scorer(self, postings: DataFrame, scorer):
@@ -448,6 +523,10 @@ class IndexReader:
         present = sorted(weights)
         kk = k if k is not None else n
         scorer = _make_exhaustive_scorer(weights, 0, 0, 1.0, kk, "tfidf")
+        fast = self._fast_scored(present, scorer)
+        if fast is not None:
+            return fast
+        self.last_path = "distributed"
         scored = self._apply_scorer(
             self._postings_for(present).select(
                 "shard", "term", "df", "docs", "tfs", "dls"

@@ -95,7 +95,8 @@ def test_dl_stream_matches_docstore(spark, built_index, oracle_index):
 @pytest.mark.parametrize("mode", ["exhaustive", "pruned"])
 def test_bm25_rank_identity(spark, built_index, oracle_index, mode):
     index_dir, _ = built_index
-    reader = IndexReader(spark, index_dir)
+    # fast_path_bytes=0: this test must exercise the DISTRIBUTED scorers
+    reader = IndexReader(spark, index_dir, fast_path_bytes=0)
     for qid, q, k in gen_queries():
         want = oracle_index.search_bm25(q, k)
         got = reader.search(q, k, mode=mode)
@@ -108,7 +109,7 @@ def test_bm25_rank_identity(spark, built_index, oracle_index, mode):
 
 def test_tfidf_rank_identity(spark, built_index, oracle_index):
     index_dir, _ = built_index
-    reader = IndexReader(spark, index_dir)
+    reader = IndexReader(spark, index_dir, fast_path_bytes=0)
     for qid, q, k in gen_queries():
         want = oracle_index.search_tfidf(q, k)
         got = reader.search_tfidf(q, k)
@@ -152,14 +153,38 @@ def test_shuffle_free_scorer_matches_exchange_path(spark, built_index):
     for both BM25 (pruned + exhaustive) and TF-IDF, on every reference
     query."""
     index_dir, _ = built_index
-    fast = IndexReader(spark, index_dir)
+    fast = IndexReader(spark, index_dir, fast_path_bytes=0)
     assert fast._whole_file_tasks, "invariant not recorded / conf not set"
-    slow = IndexReader(spark, index_dir)
+    slow = IndexReader(spark, index_dir, fast_path_bytes=0)
     slow._whole_file_tasks = False
     for _, q, k in gen_queries():
         for mode in ("pruned", "exhaustive"):
             assert fast.search(q, k, mode=mode) == slow.search(q, k, mode=mode)
         assert fast.search_tfidf(q, k) == slow.search_tfidf(q, k)
+
+
+def test_driver_fast_path_identity(spark, built_index, oracle_index):
+    """The driver fast path (pyarrow read + same numpy scorer, no Spark
+    job) must be result-identical to the distributed plan for BM25 and
+    TF-IDF on every reference query, and must actually engage / disengage
+    on the nbytes threshold."""
+    index_dir, _ = built_index
+    fast = IndexReader(spark, index_dir)  # default threshold: engages
+    dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+    for _, q, k in gen_queries():
+        got = fast.search(q, k)
+        if got:
+            assert fast.last_path == "fast"
+        want = dist.search(q, k, mode="exhaustive")
+        assert dist.last_path == "distributed"
+        assert got == want, q
+        assert fast.search_tfidf(q, k) == dist.search_tfidf(q, k), q
+        assert fast.search(q, k, mode="pruned") == want  # mode-independent
+    # a 1-byte budget can never cover matched postings -> distributed
+    tiny = IndexReader(spark, index_dir, fast_path_bytes=1)
+    q = gen_queries()[0][1]
+    if tiny.search(q, 5):
+        assert tiny.last_path == "distributed"
 
 
 def test_parse_bytes():
