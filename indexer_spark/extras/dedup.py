@@ -252,50 +252,89 @@ def char_shingles(
 
 def embedding_near_duplicates(
     emb: DataFrame, vec_col="embedding", id_col="vec_id",
-    n_planes: int = 12, threshold: float = 0.95, seed: int = 42,
+    n_planes: int = 12, n_tables: int = 3, multiprobe: bool = True,
+    threshold: float = 0.95, max_bucket_size: int = 1000, seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup: random-hyperplane LSH buckets (sign bits of
-    dot products with seeded Gaussian planes, computed in a vectorized
-    Arrow batch matmul), then exact cosine verification within buckets."""
+    """Embedding near-dup: random-hyperplane LSH, then exact cosine
+    verification on candidates only.
+
+    Scale + recall hardening:
+    - ``n_tables`` independent plane sets: a pair is a candidate if it
+      collides in ANY table (recall 1-(1-p)^T for per-table collision p);
+    - ``multiprobe``: each vector also lands in the n_planes buckets at
+      Hamming distance 1 from its code, so pairs whose codes differ by up
+      to 2 bits still collide (flip-flip meets in the middle). At 12
+      planes / cos 0.95 this lifts per-table recall from ~0.28 to ~0.89,
+      and 3 tables to >0.99 — asserted against brute force in
+      tests/test_extras.py;
+    - ``max_bucket_size``: buckets above the cap are dropped before the
+      self-join (degenerate content — e.g. all-zero embeddings — would
+      otherwise go quadratic), same sized-join guard as
+      lsh_candidate_pairs.
+    """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import ArrayType, LongType
 
     rng = np.random.default_rng(seed)
     first = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-    planes = rng.standard_normal((dim, n_planes))
+    # (tables, dim, planes); each table tagged into a disjoint id space
+    planes = rng.standard_normal((n_tables, dim, n_planes))
 
-    @F.pandas_udf(LongType())
-    def bucket_of(vs: pd.Series) -> pd.Series:
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_of(vs: pd.Series) -> pd.Series:
         m = np.stack(vs.to_numpy())  # (batch, dim)
-        bits = (m @ planes) > 0
-        out = np.zeros(len(vs), dtype=np.int64)
-        for i in range(n_planes):
-            out |= bits[:, i].astype(np.int64) << i
+        out = []
+        codes_per_table = []
+        for t in range(n_tables):
+            bits = (m @ planes[t]) > 0
+            code = np.zeros(len(m), dtype=np.int64)
+            for i in range(n_planes):
+                code |= bits[:, i].astype(np.int64) << i
+            codes_per_table.append(code | (np.int64(t) << 56))
+        for r in range(len(m)):
+            row = []
+            for t in range(n_tables):
+                c = codes_per_table[t][r]
+                row.append(int(c))
+                if multiprobe:
+                    row.extend(int(c ^ (1 << i)) for i in range(n_planes))
+            out.append(row)
         return pd.Series(out)
 
     vd = emb.select(
         id_col,
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).withColumn("bucket", bucket_of("v"))
-    a, b = vd.alias("a"), vd.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).withColumn("bucket", F.explode(buckets_of("v")))
+    # sized-join cap: drop degenerate buckets before the self-join
+    sized = vd.join(
+        vd.groupBy("bucket").count(), "bucket"
+    ).filter(F.col("count") <= max_bucket_size).drop("count")
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
     )
     return (
         cand.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (dot / F.sqrt(sq(F.col("a.v")) * sq(F.col("b.v")))).alias("cosine"),
+            "id_a", "id_b",
+            (dot / F.sqrt(sq(F.col("va")) * sq(F.col("vb")))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

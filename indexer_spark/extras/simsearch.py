@@ -4,15 +4,19 @@
   JVM-side zip_with/aggregate expressions; distributed
   TakeOrderedAndProject for the top-k (no driver-side sort of the corpus).
 - `IvfIndex`: the scale path — IVF (inverted-file) partitioning: k-means
-  centroids fitted on a seeded sample (driver-side numpy; centroid count
-  is tiny), every vector assigned to its nearest centroid, the table
-  written partitioned by centroid id. A query probes only the `nprobe`
-  nearest centroids => scan cost drops by ~n_centroids/nprobe, and the
-  partition column prunes files at the source (same pushdown discipline
-  as the postings table).
+  centroids fitted with DISTRIBUTED Lloyd iterations over the full table
+  (broadcast centroids, per-task partial sums, driver merge — supports
+  the 10^3-10^4 centroid counts a 100 TB corpus needs), every vector
+  assigned to its nearest centroid, the table written partitioned by
+  centroid id. A query probes only the `nprobe` nearest centroids =>
+  scan cost drops by ~n_centroids/nprobe, and the partition column
+  prunes files at the source (same pushdown discipline as the postings
+  table).
 """
 
 # NOTE: no `from __future__ import annotations` - pandas_udf needs real hints
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -46,18 +50,78 @@ def brute_force_topk(
     )
 
 
-def _kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int, seed: int):
-    """Tiny deterministic k-means (numpy, driver-side, sample-sized)."""
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
-    cent = sample[idx].copy()
+def _assign_dists(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances (batch, centroids) via the expanded
+    form — one BLAS matmul instead of a (batch, k, dim) broadcast."""
+    return (
+        (m * m).sum(1)[:, None] - 2.0 * (m @ cent.T) + (cent * cent).sum(1)[None, :]
+    )
+
+
+def _kmeans_fit_distributed(
+    spark, vdf: DataFrame, n_centroids: int, iters: int, seed: int,
+    id_col: str,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the full table (scales to any row
+    count and centroid counts in the 10^3-10^4 range a 100 TB IVF needs;
+    the old driver-sample fit capped out at toy centroid counts).
+
+    Per iteration: centroids are broadcast; every task computes
+    per-centroid partial (count, sum) for its partition in one vectorized
+    pass (the classic map-side combine), and the driver merges
+    tasks x centroids partial rows. At extreme (executors x centroids)
+    products the merge becomes a treeAggregate / applyInPandas stage —
+    same dataflow, one more combine level.
+
+    Init: deterministic hash-ordered sample (TakeOrdered under the hood —
+    no full sort, no collect of the corpus)."""
+    init = (
+        vdf.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cent = np.stack(init["v"].map(np.asarray).to_numpy()).astype(np.float64)
+    k, dim = cent.shape
+    sc = spark.sparkContext
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                cent[c] = sample[m].mean(axis=0)
+        centb = sc.broadcast(cent)
+
+        def partials(batches):
+            c = centb.value
+            sums = np.zeros((k, dim), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                m = np.stack(pdf["v"].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                a = _assign_dists(m, c).argmin(axis=1)
+                np.add.at(sums, a, m)
+                np.add.at(cnts, a, 1)
+            if not seen:
+                return
+            nz = np.nonzero(cnts)[0]
+            yield pd.DataFrame({
+                "cid": nz.astype(np.int32),
+                "cnt": cnts[nz],
+                "vsum": [sums[i].tobytes() for i in nz],
+            })
+
+        rows = vdf.select("v").mapInPandas(
+            partials, "cid int, cnt long, vsum binary"
+        ).collect()
+        centb.destroy()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.frombuffer(bytes(r["vsum"]), dtype=np.float64)
+            cnts[r["cid"]] += int(r["cnt"])
+        nz = cnts > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / cnts[nz, None]  # empty centroids keep position
     return cent
 
 
@@ -75,25 +139,40 @@ class IvfIndex:
     @classmethod
     def build(
         cls, spark, emb: DataFrame, path: str,
-        n_centroids: int = 16, sample: int = 2000, iters: int = 8,
+        n_centroids: int = 16, iters: int = 8,
         vec_col="embedding", id_col="vec_id", seed: int = 42,
     ) -> "IvfIndex":
-        pdf = emb.select(vec_col).limit(sample).toPandas()
-        mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-        cent = _kmeans_fit(mat, n_centroids, iters, seed)
+        """Fit centroids with distributed Lloyd iterations over the FULL
+        table (no driver-side sample bottleneck — supports the 10^3-10^4
+        centroid counts a 100 TB corpus needs), then write the table
+        partitioned by nearest-centroid list id."""
+        vdf = _as_double(emb, vec_col).select(id_col, "v")
+        cent = _kmeans_fit_distributed(
+            spark, vdf, n_centroids, iters, seed, id_col
+        )
         centb = spark.sparkContext.broadcast(cent)
 
         @F.pandas_udf(IntegerType())
         def assign_udf(vs: pd.Series) -> pd.Series:
             m = np.stack(vs.map(np.asarray).to_numpy()).astype(np.float64)
-            c = centb.value
-            d2 = (m * m).sum(1)[:, None] - 2 * m @ c.T + (c * c).sum(1)[None, :]
-            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+            return pd.Series(
+                _assign_dists(m, centb.value).argmin(axis=1).astype(np.int32)
+            )
 
         (
             emb.withColumn("list_id", assign_udf(F.col(vec_col)))
             .write.partitionBy("list_id").mode("overwrite").parquet(path)
         )
+        # persist centroids next to the data: an index is reopenable
+        # without refitting
+        np.save(os.path.join(path, "_centroids.npy"), cent)
+        return cls(spark, path, cent, vec_col, id_col)
+
+    @classmethod
+    def open(
+        cls, spark, path: str, vec_col="embedding", id_col="vec_id"
+    ) -> "IvfIndex":
+        cent = np.load(os.path.join(path, "_centroids.npy"))
         return cls(spark, path, cent, vec_col, id_col)
 
     def search(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:

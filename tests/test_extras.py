@@ -110,6 +110,51 @@ def test_embedding_near_duplicates(emb_df):
     assert (0, 1) in pairs
 
 
+def test_embedding_lsh_recall_and_bucket_cap(spark):
+    """Multi-table + multiprobe LSH must recover >=0.9 of the true
+    cos>=0.95 pairs (vs brute force), and max_bucket_size must drop
+    degenerate buckets (a clone cluster that would go quadratic) without
+    hurting recall on the healthy pairs."""
+    rng = np.random.default_rng(11)
+    dim, n_base, n_dup = 16, 60, 30
+    base = rng.standard_normal((n_base, dim))
+    vecs = [base[i] for i in range(n_base)]
+    for i in range(n_dup):  # planted near-dups around cos ~0.95
+        vecs.append(base[i] + 0.30 * rng.standard_normal(dim))
+    clone = np.ones(dim)
+    n_clones = 30
+    vecs.extend(clone.copy() for _ in range(n_clones))  # degenerate cluster
+    mat = np.stack(vecs)
+    n = len(vecs)
+    clone_ids = set(range(n - n_clones, n))
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    truth = {
+        (i, j)
+        for i in range(n) for j in range(i + 1, n)
+        if cos[i, j] >= 0.95 and not (i in clone_ids and j in clone_ids)
+    }
+    assert len(truth) >= 15  # the fixture really plants pairs
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.tolist() for v in mat]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup.embedding_near_duplicates(
+        df, n_planes=12, n_tables=3, multiprobe=True,
+        threshold=0.95, max_bucket_size=10, seed=7,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # exactness: every reported pair is a true cos>=0.95 pair
+    for i, j in found:
+        assert cos[i, j] >= 0.95 - 1e-9
+    # the clone cluster (bucket size 30 > cap 10) was dropped, not joined
+    assert not any(i in clone_ids and j in clone_ids for i, j in found)
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
 def test_brute_force_topk_matches_numpy(emb_df):
     pdf = emb_df.toPandas()
     mat = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
@@ -127,7 +172,7 @@ def test_ivf_recall_and_pruning(spark, emb_df, tmp_path):
     mat = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
     q = mat[3]
     idx = simsearch.IvfIndex.build(
-        spark, emb_df, str(tmp_path / "ivf"), n_centroids=4, sample=40
+        spark, emb_df, str(tmp_path / "ivf"), n_centroids=4
     )
     exact = [r["vec_id"] for r in
              simsearch.brute_force_topk(emb_df, q.tolist(), k=5).collect()]
@@ -137,6 +182,46 @@ def test_ivf_recall_and_pruning(spark, emb_df, tmp_path):
     # pruned probe returns a subset ranked consistently and hits the top-1
     pruned = [r["vec_id"] for r in idx.search(q.tolist(), k=5, nprobe=1).collect()]
     assert pruned[0] == exact[0] == 3
+
+
+def test_ivf_distributed_fit_256_centroids(spark, tmp_path):
+    """The distributed Lloyd fit must handle production-shaped centroid
+    counts (>=256, far beyond a driver-sample fit), with recall vs brute
+    force growing in nprobe, exact retrieval at full probe, and a
+    reopenable on-disk index."""
+    rng = np.random.default_rng(13)
+    n, dim, k = 3000, 16, 256
+    mat = rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.tolist() for v in mat]}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    path = str(tmp_path / "ivf256")
+    idx = simsearch.IvfIndex.build(spark, df, path, n_centroids=k, iters=4)
+    assert idx.centroids.shape == (k, dim)
+    # every centroid is finite and they are not all identical (real fit)
+    assert np.isfinite(idx.centroids).all()
+    assert np.std(idx.centroids, axis=0).max() > 0.1
+
+    q = (mat[7] + 0.01 * rng.standard_normal(dim)).tolist()
+    exact = [r["vec_id"] for r in
+             simsearch.brute_force_topk(df, q, k=10).collect()]
+    full = [r["vec_id"] for r in idx.search(q, 10, nprobe=k).collect()]
+    assert full == exact  # full probe == brute force
+    # near-centroid query: tiny probe count already finds the top-1
+    near1 = [r["vec_id"] for r in idx.search(q, 10, nprobe=4).collect()]
+    assert near1[0] == exact[0] == 7
+    # recall grows with nprobe
+    def recall(nprobe):
+        got = {r["vec_id"] for r in idx.search(q, 10, nprobe=nprobe).collect()}
+        return len(got & set(exact)) / len(exact)
+    r16, r96 = recall(16), recall(96)
+    assert r96 >= r16
+    assert r96 >= 0.5
+    # reopen from disk without refitting
+    idx2 = simsearch.IvfIndex.open(spark, path)
+    assert np.allclose(idx2.centroids, idx.centroids)
+    assert [r["vec_id"] for r in idx2.search(q, 10, nprobe=k).collect()] == exact
 
 
 def test_language_id(spark):
