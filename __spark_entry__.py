@@ -403,6 +403,20 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_multimodal(spark, sf_dir):
+    """REAL image decode (pure-numpy PPM/BMP codec) -> feature extraction
+    over a deterministic synthetic asset fixture, through the Arrow
+    mapInPandas plumbing. Binary codec output => rows-only by necessity;
+    decode correctness is pytest-verified (round-trip + feature
+    recompute)."""
+    _ship_package(spark)
+    from indexer_spark.extras import multimodal
+
+    pdf = multimodal.synth_image_assets(64, seed=3)
+    df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
+    return multimodal.extract_features(df, decoder=multimodal.image_decoder)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -424,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "multimodal_features": _q_multimodal,
     }
 
 

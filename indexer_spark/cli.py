@@ -78,14 +78,19 @@ def cmd_query(args):
         hits = reader.search(args.query, args.k, mode=args.mode)
     wall = round(time.time() - t0, 3)
     resolved = reader.resolve(hits).collect() if hits else []
-    print(json.dumps({
+    out = json.dumps({
         "query": args.query, "k": args.k, "wall_sec": wall,
         "hits": [
             {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
              "doc_id": r["doc_id"], "score": r["score"]}
             for r in resolved
         ],
-    }))
+    })
+    print(out)
+    if args.output:
+        # results-to-file sink (reference --output, main.rs:200-212)
+        with open(args.output, "w") as f:
+            f.write(out + "\n")
 
 
 def cmd_synth(args):
@@ -111,7 +116,7 @@ def main(argv=None):
     b.add_argument("--shard-docs", type=int, default=1 << 16)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--resume", action="store_true")
-    b.add_argument("--format", choices=["parquet", "iceberg"],
+    b.add_argument("--format", choices=["parquet", "iceberg", "csv"],
                    default="parquet")
     b.set_defaults(fn=cmd_build)
 
@@ -131,6 +136,8 @@ def main(argv=None):
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["pruned", "exhaustive"], default="pruned")
     q.add_argument("--tfidf", action="store_true")
+    q.add_argument("--output", default=None,
+                   help="also write the JSON result to this file")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("synth")

@@ -48,8 +48,160 @@ def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
 def strict_decoder(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
         f"real {kind} decode requires an image/audio library not present "
-        "in this container; plug PIL/soundfile in here"
+        "in this container; plug PIL/soundfile in here — or use "
+        "image_decoder, which really decodes PPM (P6/P3) and uncompressed "
+        "BMP with no external library"
     )
+
+
+# --------------------------------------------------------------------------
+# real image codec: PPM (P6 binary / P3 ascii) + uncompressed 24/32-bit BMP
+# — pure numpy, no external library, so the decode step is no longer a stub
+# for these formats
+# --------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray, ascii_mode: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> PPM bytes (P6 binary, or P3 ascii)."""
+    h, w, _ = arr.shape
+    if ascii_mode:
+        body = " ".join(map(str, arr.astype(np.uint8).ravel()))
+        return f"P3\n{w} {h}\n255\n{body}\n".encode()
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> uncompressed 24-bit bottom-up BMP bytes."""
+    h, w, _ = arr.shape
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    img = np.zeros((h, row), dtype=np.uint8)
+    img[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")          # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2   # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6/P3 -> (h, w, 3) uint8. Handles '#' comments and arbitrary
+    header whitespace per the netpbm spec; maxval <= 255 only."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    if magic == b"P6":
+        i += 1  # exactly one whitespace byte after maxval
+        return (
+            np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    vals = np.array(payload[i:].split()[: w * h * 3], dtype=np.int64)
+    return vals.reshape(h, w, 3).astype(np.uint8)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> (h, w, 3) uint8 (RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up, h = h > 0, abs(h)
+    nb = bpp // 8
+    row = (w * nb + 3) & ~3
+    buf = np.frombuffer(
+        payload, dtype=np.uint8, offset=off, count=row * h
+    ).reshape(h, row)
+    px = buf[:, : w * nb].reshape(h, w, nb)[:, :, :3][:, :, ::-1]  # BGR->RGB
+    return (px[::-1] if bottom_up else px).copy()
+
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch -> (h, w, 3) uint8 RGB."""
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("unrecognized image payload (PPM/BMP supported)")
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) pixels -> FEATURE_DIM deterministic features: channel
+    means (3) + stds (3), 2x2 luminance grid means (4), 4-bin luminance
+    histogram (4), aspect ratio + log-area (2)."""
+    a = arr.astype(np.float64) / 255.0
+    h, w, _ = a.shape
+    luma = a @ np.array([0.299, 0.587, 0.114])
+    hs = np.array_split(np.arange(h), 2)
+    ws = np.array_split(np.arange(w), 2)
+    grid = [
+        luma[np.ix_(hi, wi)].mean() if hi.size and wi.size else luma.mean()
+        for hi in hs for wi in ws
+    ]
+    hist = np.histogram(luma, bins=4, range=(0.0, 1.0))[0] / luma.size
+    return np.concatenate([
+        a.mean(axis=(0, 1)), a.std(axis=(0, 1)), grid, hist,
+        [w / h, np.log1p(h * w) / 20.0],
+    ])
+
+
+def image_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """REAL decoder for the image kind (PPM/BMP, pure numpy): decode
+    pixels, then featurize. Non-image kinds still raise — audio/video
+    codecs remain the documented plug point."""
+    if kind != "image":
+        return strict_decoder(payload, kind)
+    return image_features(decode_image_bytes(payload))
+
+
+def synth_image_assets(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic REAL image assets: random pixels encoded as PPM-P6 /
+    PPM-P3 / BMP round-robin, with true width/height metadata."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        enc = (encode_ppm, lambda a: encode_ppm(a, ascii_mode=True),
+               encode_bmp)[i % 3]
+        rows.append({
+            "asset_id": i, "kind": "image", "payload": enc(arr),
+            "width": w, "height": h, "sample_rate": None, "n_frames": None,
+        })
+    return pd.DataFrame(rows)
 
 
 def synth_assets(n: int, seed: int = 42) -> pd.DataFrame:

@@ -21,9 +21,9 @@ the same columnar scan + pushdown behavior the build relies on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-SUPPORTED = ("parquet", "iceberg")
+SUPPORTED = ("parquet", "iceberg", "csv")
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
@@ -53,6 +53,10 @@ def read_source(
         if snapshot_id is not None or as_of_timestamp is not None:
             raise ValueError("snapshot selection requires fmt='iceberg'")
         return spark.read.parquet(location)
+    if fmt == "csv":
+        if snapshot_id is not None or as_of_timestamp is not None:
+            raise ValueError("snapshot selection requires fmt='iceberg'")
+        return read_csv_transcripts(spark, location)
     if fmt == "iceberg":
         if not _has_iceberg(spark):
             raise RuntimeError(
@@ -69,3 +73,51 @@ def read_source(
             reader = reader.option("as-of-timestamp", str(as_of_timestamp))
         return reader.load(location)
     raise ValueError(f"unknown source format {fmt!r}; supported: {SUPPORTED}")
+
+
+def read_csv_transcripts(
+    spark: SparkSession,
+    location: str,
+    text_cols: list[str] | None = None,
+    delimiter: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingestion -> transcripts shape (the S6 analog of the
+    reference's CSV extractor, /root/reference/src/parsers.rs: every
+    record's fields are joined with single spaces into one text blob).
+
+    Mapping quirks, documented:
+    - one CSV ROW = one turn (the reference indexes one FILE as one doc;
+      a row is the natural turn-granular unit for this engine — join
+      granularity, not semantics, is the deviation);
+    - text = space-joined ``text_cols`` (default: all columns), nulls as
+      empty strings — matching the reference's unconditional
+      space-join of fields;
+    - conv_id = source file path, turn_idx = row position within the
+      file. Row positions are derived from monotonically_increasing_id
+      within each file partition — stable as long as each CSV file is
+      read as a single split (Spark never splits small files across
+      tasks; for huge CSVs raise maxPartitionBytes or pre-split the
+      file per conversation).
+    """
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .csv(location)
+    )
+    cols = text_cols or df.columns
+    text = F.concat_ws(
+        " ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.monotonically_increasing_id())
+    return (
+        df.withColumn("conv_id", F.input_file_name())
+        .withColumn("text", text)
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("role", F.lit("row"))
+        .withColumn("tool", F.lit(None).cast("string"))
+        .withColumn("ts", F.lit(None).cast("timestamp"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )

@@ -274,6 +274,40 @@ def test_fingerprints(spark):
     assert out[0] != out[2]
 
 
+def test_image_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 3), (7, 8), (16, 2)]:  # odd widths hit BMP padding
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.decode_ppm(multimodal.encode_ppm(arr)), arr)
+        assert np.array_equal(
+            multimodal.decode_ppm(
+                multimodal.encode_ppm(arr, ascii_mode=True)), arr)
+        assert np.array_equal(
+            multimodal.decode_bmp(multimodal.encode_bmp(arr)), arr)
+    # netpbm comment + whitespace tolerance
+    p = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+    assert multimodal.decode_ppm(p).shape == (2, 3, 3)
+    with pytest.raises(ValueError):
+        multimodal.decode_image_bytes(b"\x89PNG....")
+
+
+def test_image_decoder_real_features(spark):
+    """The REAL decode path: PPM/BMP bytes -> pixels -> features inside
+    the Spark pipeline, identical to a driver-side recompute."""
+    pdf = multimodal.synth_image_assets(24, seed=9)
+    df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
+    feats = multimodal.extract_features(
+        df, decoder=multimodal.image_decoder).collect()
+    assert len(feats) == 24
+    by_id = {r["asset_id"]: np.array(r["feature"]) for r in feats}
+    for i in (0, 1, 2):  # one of each encoding (P6, P3, BMP)
+        arr = multimodal.decode_image_bytes(bytes(pdf["payload"].iloc[i]))
+        assert arr.shape == (pdf["height"].iloc[i], pdf["width"].iloc[i], 3)
+        assert np.allclose(by_id[i], multimodal.image_features(arr))
+        assert np.isfinite(by_id[i]).all()
+
+
 def test_multimodal_features(spark):
     pdf = multimodal.synth_assets(30, seed=9)
     df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)

@@ -32,3 +32,57 @@ def test_iceberg_gated_without_runtime_jar(spark):
         pytest.skip("iceberg runtime present; gate not exercised")
     with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
         read_source(spark, "catalog.db.transcripts", "iceberg")
+
+
+def test_csv_transcripts(spark, tmp_path):
+    """CSV -> transcripts shape: one row per turn, text = space-joined
+    fields (reference parsers.rs CSV join), dense per-file turn_idx, and
+    an end-to-end build+query over the result."""
+    import os
+
+    from indexer_spark.build import BuildConfig, build_index
+    from indexer_spark.query import IndexReader
+    from indexer_spark.sources import read_csv_transcripts
+
+    src = tmp_path / "csvs"
+    os.makedirs(src)
+    (src / "a.csv").write_text(
+        "title,body\nhello,world of spark\nsecond,row here\n"
+    )
+    (src / "b.csv").write_text("title,body\nzebra,quantum jazz\n")
+    df = read_csv_transcripts(spark, str(src))
+    rows = df.orderBy("conv_id", "turn_idx").collect()
+    assert [r["turn_idx"] for r in rows] == [0, 1, 0]
+    assert rows[0]["text"] == "hello world of spark"
+    assert rows[2]["text"] == "zebra quantum jazz"
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    d = str(tmp_path / "csvidx")
+    build_index(spark, df, d, BuildConfig(block_size=32, id_partitions=2))
+    reader = IndexReader(spark, d)
+    hits = reader.search("zebra", 5)
+    assert len(hits) == 1
+    res = reader.resolve(hits).collect()[0]
+    assert res["conv_id"].endswith("b.csv")
+
+
+def test_cli_query_output_file(spark, tmp_path):
+    """--output writes the same JSON the CLI prints (reference --output
+    sink, main.rs:200-212)."""
+    import json
+
+    from indexer_spark.build import BuildConfig, build_index
+    from indexer_spark.cli import main
+    from indexer_spark.synth import gen_transcripts
+
+    pdf = gen_transcripts(100, seed=3)
+    d = str(tmp_path / "cliidx")
+    build_index(spark, spark.createDataFrame(pdf), d,
+                BuildConfig(block_size=32, id_partitions=2))
+    q = pdf["text"].iloc[0].split()[0]
+    out = str(tmp_path / "result.json")
+    main(["query", "--index", d, "--query", q, "--k", "3",
+          "--output", out])
+    data = json.loads(open(out).read())
+    assert data["query"] == q and len(data["hits"]) >= 1
+    assert {"conv_id", "turn_idx", "doc_id", "score"} <= set(data["hits"][0])
