@@ -93,6 +93,14 @@ def cmd_query(args):
             f.write(out + "\n")
 
 
+def cmd_serve(args):
+    # long-lived query service (reference `indexer serve`, main.rs:214-225)
+    from .server import serve_forever
+
+    spark = get_session(args)
+    serve_forever(spark, args.index, host=args.host, port=args.port)
+
+
 def cmd_synth(args):
     from .synth import transcripts_spark
 
@@ -139,6 +147,12 @@ def main(argv=None):
     q.add_argument("--output", default=None,
                    help="also write the JSON result to this file")
     q.set_defaults(fn=cmd_query)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8765)
+    sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("synth")
     s.add_argument("--turns", type=int, required=True)

@@ -536,6 +536,53 @@ class IndexReader:
         out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
         return [(r["doc_id"], r["score"]) for r in out.collect()]
 
+    def resolve_local(
+        self, hits: list[tuple[int, float]]
+    ) -> list[dict]:
+        """Driver-side resolve for serving paths: doc_ids -> (shard,
+        local_idx) via the stats map, then a pyarrow point-read of the
+        matched tok shard dirs (shard partition pruning + local_idx
+        row-group stats — k rows, metadata-sized IO, no Spark job).
+        Same output rows as resolve(), list-of-dict instead of a
+        DataFrame."""
+        from .build import _tok_path, locate_doc_ids
+
+        if not hits:
+            return []
+        import pyarrow.dataset as pads
+
+        loc = locate_doc_ids(self.stats, [int(d) for d, _ in hits])
+        shards = sorted({s for s, _ in loc.values()})
+        locals_ = sorted({li for _, li in loc.values()})
+        ds = pads.dataset(
+            _tok_path(self.index_dir), format="parquet", partitioning="hive"
+        )
+        tbl = ds.to_table(
+            columns=["shard", "local_idx", "conv_id", "turn_idx"],
+            filter=pads.field("shard").isin(shards)
+            & pads.field("local_idx").isin(locals_),
+        )
+        by_key = {
+            (int(s), int(li)): (c, int(t))
+            for s, li, c, t in zip(
+                tbl.column("shard").to_pylist(),
+                tbl.column("local_idx").to_pylist(),
+                tbl.column("conv_id").to_pylist(),
+                tbl.column("turn_idx").to_pylist(),
+            )
+        }
+        out = []
+        for d, score in hits:
+            key = loc.get(int(d))
+            if key is None or key not in by_key:
+                continue
+            conv_id, turn_idx = by_key[key]
+            out.append({
+                "conv_id": conv_id, "turn_idx": turn_idx,
+                "doc_id": int(d), "score": float(score),
+            })
+        return out
+
     def resolve(self, hits: list[tuple[int, float]]) -> DataFrame:
         """doc_id -> (conv_id, turn_idx) resolution (J1, tree.rs:454-459):
         broadcast the tiny top-k side; doc_ids are translated driver-side

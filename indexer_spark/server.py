@@ -1,0 +1,162 @@
+"""Long-lived query service — the reference's third entry point
+(`indexer serve`, /root/reference/src/server.rs:23-108, main.rs:214-225)
+re-expressed over the Spark index.
+
+Endpoint parity with the reference:
+- ``GET /``            -> a minimal HTML search page (HTML_DEFAULT analog)
+- ``POST /query``      -> raw query text body; newline-joined result
+                          locations ("conv_id\tturn_idx\tscore"), or
+                          "Zero matches!" — the reference returns
+                          newline-joined file paths; (conv_id, turn_idx)
+                          is this engine's document identity
+Extras beyond the reference:
+- ``GET /search?q=...&k=10&mode=pruned&tfidf=0`` -> JSON results
+- ``GET /stats``       -> index stats JSON
+
+Serving path: IndexReader's driver fast path scores small matched sets
+without a Spark job (sub-50 ms warm), and resolve_local point-reads the
+matched tok rows with pyarrow — so a typical request never launches a
+job; hot-term queries transparently fall back to the distributed plan.
+ThreadingHTTPServer + a shared reader: the df/nbytes caches are
+GIL-protected dict ops and pyarrow reads are thread-safe; distributed
+fallbacks serialize on the SparkContext like any concurrent driver."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .query import IndexReader
+
+_PAGE = """<!doctype html>
+<html><head><title>indexer_spark</title></head>
+<body><h1>indexer_spark query service</h1>
+<form action="/search" method="get">
+<input name="q" size="60" placeholder="query terms"/>
+<input name="k" value="10" size="3"/>
+<button type="submit">search</button></form>
+<p>POST /query with a raw query body for newline-joined results;
+GET /stats for index stats.</p></body></html>
+"""
+
+
+class QueryServer:
+    """HTTP front-end over one IndexReader. start() binds and serves on a
+    daemon thread and returns the bound port (port=0 picks a free one)."""
+
+    def __init__(self, spark, index_dir: str, host: str = "127.0.0.1",
+                 port: int = 0, k_default: int = 10):
+        self.reader = IndexReader(spark, index_dir)
+        self.host, self.port, self.k_default = host, port, k_default
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- request handling --------------------------------------------------
+
+    def _search(self, q: str, k: int, mode: str, tfidf: bool) -> list[dict]:
+        hits = (
+            self.reader.search_tfidf(q, k) if tfidf
+            else self.reader.search(q, k, mode=mode)
+        )
+        return self.reader.resolve_local(hits)
+
+    def _make_handler(server_self):  # noqa: N805 - handler factory
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet: no stderr spam
+                pass
+
+            def _send(self, code: int, body: str, ctype="application/json"):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    self._send(200, _PAGE, "text/html")
+                elif url.path == "/stats":
+                    self._send(200, json.dumps({
+                        k: v for k, v in server_self.reader.stats.items()
+                        if not isinstance(v, dict)  # omit bulky maps
+                    }))
+                elif url.path == "/search":
+                    qs = parse_qs(url.query)
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        self._send(400, json.dumps({"error": "missing q"}))
+                        return
+                    k = int((qs.get("k") or [server_self.k_default])[0])
+                    mode = (qs.get("mode") or ["pruned"])[0]
+                    tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
+                    try:
+                        rows = server_self._search(q, k, mode, tfidf)
+                    except Exception as e:  # surface, don't kill the thread
+                        self._send(500, json.dumps({"error": str(e)}))
+                        return
+                    self._send(200, json.dumps({"query": q, "hits": rows}))
+                else:
+                    self._send(404, f"Route not Allowed: {url.path}",
+                               "text/plain")
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path != "/query":
+                    self._send(404, f"Route not Allowed: {url.path}",
+                               "text/plain")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                q = self.rfile.read(n).decode().strip()
+                try:
+                    rows = server_self._search(
+                        q, server_self.k_default, "pruned", False
+                    )
+                except Exception as e:
+                    self._send(500, str(e), "text/plain")
+                    return
+                if not rows:
+                    self._send(200, "Zero matches!", "text/plain")
+                    return
+                body = "\n".join(
+                    f"{r['conv_id']}\t{r['turn_idx']}\t{r['score']:.6f}"
+                    for r in rows
+                )
+                self._send(200, body, "text/plain")
+
+        return Handler
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> int:
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), self._make_handler()
+        )
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        self.reader.close()
+
+
+def serve_forever(spark, index_dir: str, host="127.0.0.1", port=8765):
+    """Blocking entry point for `indexer_spark serve` (CLI)."""
+    srv = QueryServer(spark, index_dir, host=host, port=port)
+    bound = srv.start()
+    print(json.dumps({"serving": f"http://{host}:{bound}",
+                      "index": index_dir}), flush=True)
+    try:
+        srv._thread.join()
+    except KeyboardInterrupt:
+        srv.stop()

@@ -1,0 +1,88 @@
+"""Query-service tests (reference `indexer serve` analog, server.rs):
+endpoint parity (GET /, POST /query newline protocol), JSON search, and
+the no-Spark-job serving path (fast search + resolve_local)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from indexer_spark.build import BuildConfig, build_index
+from indexer_spark.query import IndexReader
+from indexer_spark.server import QueryServer
+from indexer_spark.synth import gen_transcripts
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    pdf = gen_transcripts(300, seed=17)
+    d = str(tmp_path_factory.mktemp("served"))
+    build_index(spark, spark.createDataFrame(pdf), d,
+                BuildConfig(block_size=32, id_partitions=2))
+    srv = QueryServer(spark, d, port=0)
+    port = srv.start()
+    yield srv, port, pdf, d
+    srv.stop()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return r.status, r.read().decode()
+
+
+def test_serve_html_root(served):
+    _, port, _, _ = served
+    status, body = _get(port, "/")
+    assert status == 200 and "<form" in body
+
+
+def test_serve_search_json(served):
+    srv, port, pdf, _ = served
+    q = pdf["text"].iloc[0].split()[0]
+    status, body = _get(port, f"/search?q={q}&k=5")
+    assert status == 200
+    data = json.loads(body)
+    assert data["hits"] and {"conv_id", "turn_idx", "doc_id", "score"} <= set(
+        data["hits"][0]
+    )
+    # serving took the no-Spark-job path
+    assert srv.reader.last_path == "fast"
+
+
+def test_serve_post_query_protocol(served):
+    _, port, pdf, _ = served
+    q = pdf["text"].iloc[0].split()[0]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query", data=q.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = r.read().decode()
+    lines = body.splitlines()
+    assert lines and all(len(x.split("\t")) == 3 for x in lines)
+    # zero-match parity with the reference
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query", data=b"qqqzzznotaword",
+        method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.read().decode() == "Zero matches!"
+
+
+def test_serve_stats_and_404(served):
+    _, port, _, _ = served
+    status, body = _get(port, "/stats")
+    assert status == 200 and json.loads(body)["n_docs"] == 300
+    try:
+        _get(port, "/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_resolve_local_matches_resolve(spark, served):
+    srv, _, pdf, d = served
+    q = pdf["text"].iloc[1].split()[0]
+    reader = IndexReader(spark, d)
+    hits = reader.search(q, 5)
+    fast = reader.resolve_local(hits)
+    slow = [r.asDict() for r in reader.resolve(hits).collect()]
+    key = lambda r: (r["doc_id"],)  # noqa: E731
+    assert sorted(fast, key=key) == sorted(slow, key=key)
