@@ -19,19 +19,28 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+# value magnitude thresholds for 2..10 encoded bytes (LEB128: 7 bits/byte)
+_VARINT_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)],
+                              dtype=np.uint64)
+
+
 def varint_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length of each value (vectorized)."""
+    """Encoded byte length of each value — one searchsorted pass instead
+    of O(max_width) shift/any passes (the old loop allocated ~3 full-size
+    temporaries per extra byte, which under full-executor concurrency
+    turned into page-fault contention on the postings hot path)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nbytes += tmp > 0
-        tmp = tmp >> np.uint64(7)
-    return nbytes
+    return np.searchsorted(_VARINT_THRESHOLDS, v, side="right") + 1
 
 
 def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """LEB128-encode; also return each value's encoded byte length."""
+    """LEB128-encode; also return each value's encoded byte length.
+
+    Allocation-lean: byte 0 of EVERY value is written in one full-array
+    pass; later bytes touch only the (typically small) subset of values
+    that still need them — postings gaps/tfs/doc-lens are mostly 1-2
+    bytes, so the old O(max_width) full-array masked passes did ~width×
+    the necessary memory traffic."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
@@ -39,14 +48,27 @@ def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    shifted = v.copy()
-    for b in range(int(nbytes.max())):
-        mask = nbytes > b
-        idxs = starts[mask] + b
-        payload = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
-        cont = ((nbytes[mask] > b + 1).astype(np.uint8)) << 7
-        out[idxs] = payload | cont
-        shifted[mask] = shifted[mask] >> np.uint64(7)
+    # byte 0 for all values
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).astype(np.uint8) << 7
+    )
+    # bytes 1.. only for values still carrying bits (invariant at loop
+    # top: every remaining value needs byte b, shifted == v >> 7b)
+    rem = np.nonzero(nbytes > 1)[0]
+    if rem.size:
+        shifted = v[rem] >> np.uint64(7)
+        nb = nbytes[rem]
+        pos = starts[rem]
+        b = 1
+        while pos.size:
+            out[pos + b] = (shifted & np.uint64(0x7F)).astype(np.uint8) | (
+                (nb > b + 1).astype(np.uint8) << 7
+            )
+            keep = nb > b + 1
+            if not keep.all():
+                shifted, nb, pos = shifted[keep], nb[keep], pos[keep]
+            shifted = shifted >> np.uint64(7)
+            b += 1
     return out.tobytes(), nbytes
 
 
