@@ -278,7 +278,16 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     # of the written files), not from a pre-count of a cached shuffle.
     tok = parted.mapInPandas(_make_tokenizer(), schema=TOK_SCHEMA)
     t1 = time.time()
-    tok.write.partitionBy("shard").mode("overwrite").parquet(_tok_path(index_dir))
+    # static overwrite: this is always a fresh dir (build_index removes
+    # stale data), and the dynamic-overwrite commit's per-partition
+    # staging+moves are pure fixed cost here (the appenders that DO need
+    # dynamic pass it explicitly)
+    (
+        tok.write.partitionBy("shard")
+        .option("partitionOverwriteMode", "static")
+        .mode("overwrite")
+        .parquet(_tok_path(index_dir))
+    )
     _dbg("tokenize+write", t1)
 
     t1 = time.time()
@@ -475,11 +484,18 @@ def _stage_postings(
             )
             # builder emits term-sorted rows per shard; small row groups
             # turn parquet term stats into the reference's term
-            # dictionary (tree.rs:116-125)
+            # dictionary (tree.rs:116-125).
+            # Fresh full build (no existing postings dir) -> static
+            # overwrite commit; resume/append/update must preserve the
+            # other shards' partitions -> dynamic.
+            overwrite_mode = (
+                "dynamic" if os.path.exists(_postings_path(index_dir))
+                else "static"
+            )
             t1 = time.time()
             (
                 built.write.partitionBy("shard")
-                .option("partitionOverwriteMode", "dynamic")
+                .option("partitionOverwriteMode", overwrite_mode)
                 .option("parquet.block.size", str(cfg.row_group_bytes))
                 .mode("overwrite")
                 .parquet(_postings_path(index_dir))

@@ -91,8 +91,10 @@ def read_csv_transcripts(
       a row is the natural turn-granular unit for this engine — join
       granularity, not semantics, is the deviation);
     - text = space-joined ``text_cols`` (default: all columns), nulls as
-      empty strings — matching the reference's unconditional
-      space-join of fields;
+      empty strings. DELIBERATE deviation: the reference concatenates
+      fields with NO separator (parsers.rs:28-70 `fields.push_str(field)`
+      — tokens can fuse across fields, same class of quirk as Q7); we do
+      not replicate that bug, same policy as Q7;
     - conv_id = source file path, turn_idx = row position within the
       file. Row positions are derived from monotonically_increasing_id
       within each file partition — stable as long as each CSV file is
