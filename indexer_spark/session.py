@@ -57,25 +57,70 @@ _WARMED: set[str] = set()
 
 
 def warm_workers(spark: SparkSession) -> None:
-    """One tiny mapInPandas job that touches every Python worker: imports
-    numpy/pandas + our UDF modules and exercises the Arrow path, so the
-    first real stage doesn't pay ~10s+ of per-worker import/JIT tax.
-    Idempotent per session; irrelevant at cluster scale but a large
-    relative win for short local runs."""
+    """Session warmup: one representative mini-pipeline (parquet scan ->
+    mapInPandas -> parquet write) sized to touch every Python worker.
+
+    Absorbs, once per session instead of inside the first real stage:
+    - per-worker import of numpy/pandas + our UDF modules (~10s cold),
+    - JVM JIT of the parquet->Arrow->Python and write paths (the first
+      heavy scan+UDF job otherwise runs interpreted/C1 for several
+      seconds),
+    - worker heap growth for builder-scale allocations (multi-MB numpy
+      temporaries + object-string factorize — page-faulted once here, so
+      real tasks reuse the grown arenas).
+
+    Idempotent per session. A long-lived cluster pays this once per
+    executor at startup; for short local runs it is the difference
+    between measuring the engine and measuring the JIT."""
     app_id = spark.sparkContext.applicationId
     if app_id in _WARMED:
         return
     _WARMED.add(app_id)
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     cores = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="indexer_spark_warm_")
+    try:
+        (
+            spark.range(0, cores * 20_000, 1, cores)
+            .select("id", F.md5(F.col("id").cast("string")).alias("s"))
+            .write.mode("overwrite").parquet(os.path.join(tmp, "in"))
+        )
 
-    def warm(batches):
-        import numpy as np  # noqa: F401
-        import pandas as pd_
+        def warm(batches):
+            import numpy as np
+            import pandas as pd_
 
-        from . import compress, lexer  # noqa: F401
+            from . import compress, lexer  # noqa: F401
 
-        lexer.tokenize("warming up the stemmer cache")
-        for pdf in batches:
-            yield pd_.DataFrame({"x": pdf["id"][:1]})
+            lexer.tokenize("warming up the stemmer cache")
+            first = True
+            for pdf in batches:
+                if first:
+                    first = False
+                    # builder-scale allocations: big int temporaries, an
+                    # object-string factorize, a varint encode
+                    big = np.arange(4_000_000, dtype=np.int64)
+                    np.argsort(big % 997, kind="stable")
+                    words = pd_.Series(
+                        np.array([f"w{i % 5000}" for i in range(300_000)],
+                                 dtype=object)
+                    )
+                    pd_.factorize(words, sort=True)
+                    compress.varint_encode(big[:1_000_000])
+                    del big, words
+                yield pd_.DataFrame(
+                    {"x": pdf["id"][:1], "b": [b"\x00" * 64]}
+                )
 
-    spark.range(0, cores * 2, 1, cores * 2).mapInPandas(warm, "x long").count()
+        (
+            spark.read.parquet(os.path.join(tmp, "in"))
+            .mapInPandas(warm, "x long, b binary")
+            .write.mode("overwrite").parquet(os.path.join(tmp, "out"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
