@@ -345,91 +345,79 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
 # stage "postings": per-shard sorted, delta+varint-compressed posting lists
 # --------------------------------------------------------------------------
 
-def _batch_parts(pdf: pd.DataFrame, base: int):
-    """One Arrow batch -> (uniq_terms, codes, docs, tfs, dls): the batch's
-    postings with terms factorized batch-locally. The big object-string
-    array lives only for the duration of ONE batch (~10k docs), so a
-    task's resident memory is a few int arrays — not the whole shard's 5M
-    PyObject strings. (Peak worker memory is what first-task page-fault
-    contention scales with; this restructure cut it ~4x.)"""
-    pdf = pdf[pdf["terms"] != ""]
-    if len(pdf) == 0:
-        return None
-    terms_s = pdf["terms"].tolist()
-    lens = np.fromiter(
-        (s.count("\n") + 1 for s in terms_s), dtype=np.int64, count=len(terms_s)
-    )
-    docs = np.repeat(base + pdf["local_idx"].to_numpy(dtype=np.int64), lens)
-    dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int32), lens)
-    terms = np.array("\n".join(terms_s).split("\n"), dtype=object)
-    tfs = np.frombuffer(b"".join(pdf["tfs"].tolist()), dtype=np.int32)
-    codes, uniq = pd.factorize(pd.Series(terms), sort=True)
-    return (
-        np.asarray(uniq, dtype=object), codes.astype(np.int32),
-        docs, tfs, dls,
-    )
+def _make_postings_builder(
+    avgdl: float, k1: float, b: float, block_size: int,
+    offsets: dict[int, int],
+):
+    from .compress import encode_postings_batch
 
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
+            )
+        shard = int(pdf["shard"].iloc[0])
+        # absolute doc_id baked into the postings: the query path never
+        # sees the local/offset indirection
+        base = offsets[shard]
+        # explode the doc rows at C speed: one join+split over the whole
+        # group instead of per-row list handling (no Spark explode shuffle)
+        pdf = pdf[pdf["terms"] != ""]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
+            )
+        terms_s = pdf["terms"].tolist()
+        lens = np.fromiter(
+            (s.count("\n") + 1 for s in terms_s), dtype=np.int64, count=len(terms_s)
+        )
+        doc_rep = np.repeat(
+            base + pdf["local_idx"].to_numpy(dtype=np.int64), lens
+        )
+        dl_rep = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
+        terms = np.array("\n".join(terms_s).split("\n"), dtype=object)
+        tfs = np.frombuffer(
+            b"".join(pdf["tfs"].tolist()), dtype=np.int32
+        ).astype(np.int64)
+        # sort by (term, doc_id) via integer codes (factorize >> string sort)
+        codes, uniq = pd.factorize(pd.Series(terms), sort=True)
+        order = np.lexsort((doc_rep, codes))
+        codes, doc_s = codes[order], doc_rep[order]
+        tf_s, dl_s = tfs[order], dl_rep[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(np.diff(codes))[0] + 1, [codes.size])
+        )
+        docs_col, tfs_col, dls_col, blocks_col = encode_postings_batch(
+            doc_s, tf_s, dl_s, starts, avgdl,
+            k1=k1, b=b, block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "shard": np.full(starts.size - 1, shard, dtype=np.int32),
+                "term": uniq[codes[starts[:-1]]],
+                "df": (starts[1:] - starts[:-1]).astype(np.int64),
+                "docs": docs_col,
+                "tfs": tfs_col,
+                "dls": dls_col,
+                "blocks": blocks_col,
+            }
+        )
 
-def _finalize_shard(shard: int, acc: list, avgdl, k1, b, block_size,
-                    encode_postings_batch) -> pd.DataFrame:
-    """Merge a shard's per-batch parts into (term, doc_id)-sorted postings
-    and encode. Batch codes remap to a global sorted vocabulary with one
-    integer gather per batch (strings are touched only for the per-batch
-    UNIQUE terms — bounded by vocab, not postings); docs are already
-    increasing across batches (file order == local_idx order), so one
-    stable int argsort on the global codes yields (term, doc_id) order."""
-    glob = np.unique(np.concatenate([a[0] for a in acc]))
-    gcodes = np.concatenate([
-        np.searchsorted(glob, uniq_b).astype(np.int32)[codes_b]
-        for uniq_b, codes_b, _, _, _ in acc
-    ])
-    docs = np.concatenate([a[2] for a in acc])
-    tfs = np.concatenate([a[3] for a in acc])
-    dls = np.concatenate([a[4] for a in acc])
-    order = np.argsort(gcodes, kind="stable")
-    gcodes, docs = gcodes[order], docs[order]
-    tfs, dls = tfs[order], dls[order]
-    starts = np.concatenate(
-        ([0], np.nonzero(np.diff(gcodes))[0] + 1, [gcodes.size])
-    )
-    docs_col, tfs_col, dls_col, blocks_col = encode_postings_batch(
-        docs, tfs.astype(np.int64), dls.astype(np.int64), starts, avgdl,
-        k1=k1, b=b, block_size=block_size,
-    )
-    return pd.DataFrame(
-        {
-            "shard": np.full(starts.size - 1, shard, dtype=np.int32),
-            "term": glob[gcodes[starts[:-1]]],
-            "df": (starts[1:] - starts[:-1]).astype(np.int64),
-            "docs": docs_col,
-            "tfs": tfs_col,
-            "dls": dls_col,
-            "blocks": blocks_col,
-        }
-    )
+    return fn
 
 
 def _make_streaming_builder(avgdl, k1, b, block_size, offsets):
-    """mapInPandas fn: stream a task's Arrow batches (whole shard files),
-    factorize per batch, merge per shard at end-of-stream. Absolute
-    doc_id = offset + local_idx is baked in here, so the query path never
-    sees the local/offset indirection."""
-    from .compress import encode_postings_batch
+    """mapInPandas wrapper: accumulate a task's batches (whole shard
+    files), then run the per-shard builder for each shard present."""
+    builder = _make_postings_builder(avgdl, k1, b, block_size, offsets)
 
     def fn(batches):
-        accs: dict[int, list] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            for shard_val, g in pdf.groupby("shard", sort=False):
-                shard = int(shard_val)
-                p = _batch_parts(g, offsets[shard])
-                if p is not None:
-                    accs.setdefault(shard, []).append(p)
-        for shard, acc in accs.items():
-            yield _finalize_shard(
-                shard, acc, avgdl, k1, b, block_size, encode_postings_batch
-            )
+        acc = [pdf for pdf in batches if len(pdf)]
+        if not acc:
+            return
+        whole = pd.concat(acc, ignore_index=True)
+        for _shard, g in whole.groupby("shard", sort=False):
+            yield builder(g)
 
     return fn
 
