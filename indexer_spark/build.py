@@ -76,7 +76,8 @@ TOK_SCHEMA = (
 )
 
 POSTINGS_SCHEMA = (
-    "shard int, term string, df long, docs binary, tfs binary, dls binary, "
+    "shard int, term string, df long, nbytes long, "
+    "docs binary, tfs binary, dls binary, "
     "blocks array<struct<last_doc_id: long, max_tf: int, max_norm: double, "
     "doc_off: long, tf_off: long, dl_off: long>>"
 )
@@ -391,11 +392,20 @@ def _make_postings_builder(
             doc_s, tf_s, dl_s, starts, avgdl,
             k1=k1, b=b, block_size=block_size,
         )
+        # per-term compressed payload bytes, known for free here — stored
+        # so term_stats/metrics never re-read the payload columns (at
+        # 10^12 scale that re-scan would be the whole index again)
+        nbytes = np.fromiter(
+            (len(a) + len(b_) + len(c) for a, b_, c in
+             zip(docs_col, tfs_col, dls_col)),
+            dtype=np.int64, count=len(docs_col),
+        )
         return pd.DataFrame(
             {
                 "shard": np.full(starts.size - 1, shard, dtype=np.int32),
                 "term": uniq[codes[starts[:-1]]],
                 "df": (starts[1:] - starts[:-1]).astype(np.int64),
+                "nbytes": nbytes,
                 "docs": docs_col,
                 "tfs": tfs_col,
                 "dls": dls_col,
@@ -561,12 +571,11 @@ def _stage_postings(
 def _stage_term_stats(spark, index_dir) -> None:
     post = spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
     # nbytes = compressed postings payload per term: the reader's driver
-    # fast path keys on it (small matched sets skip the Spark job)
+    # fast path keys on it. Read from the stored per-row column — this
+    # scan touches only (term, df, nbytes), never the payload bytes.
     ts = post.groupBy("term").agg(
         F.sum("df").alias("df"),
-        F.sum(
-            F.length("docs") + F.length("tfs") + F.length("dls")
-        ).alias("nbytes"),
+        F.sum("nbytes").alias("nbytes"),
     )
     np_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 8)
     (
