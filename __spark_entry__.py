@@ -394,27 +394,39 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_fingerprints(spark, sf_dir):
-    """Rolling-hash document fingerprints (numpy UDF; mod-2^64 polynomial
-    hash has no DuckDB equivalent => rows-only by necessity; parity is
-    pytest-verified in tests/test_extras.py)."""
+    """Document fingerprints via the md5-derived 60-bit portable twin
+    (fully oracle-checkable in DuckDB; identical normalization + dedup
+    semantics). The engine's hot path keeps the numpy mod-2^64 polynomial
+    variant (`fingerprints`), pytest-verified in tests/test_extras.py."""
     _ship_package(spark)
-    from indexer_spark.extras.textstats import fingerprints
+    from indexer_spark.extras.textstats import fingerprints_portable
 
-    return fingerprints(_docs(spark, sf_dir))
+    return fingerprints_portable(_docs(spark, sf_dir))
 
 
 def _q_multimodal(spark, sf_dir):
     """REAL image decode (pure-numpy PPM/BMP codec) -> feature extraction
     over a deterministic synthetic asset fixture, through the Arrow
-    mapInPandas plumbing. Binary codec output => rows-only by necessity;
-    decode correctness is pytest-verified (round-trip + feature
-    recompute)."""
+    mapInPandas plumbing. The feature vector is flattened to rounded
+    scalar columns f0..f15 so the driver's rows-only canonicalizer can
+    sort rows (array<double> is unhashable in its pandas sort). Codec
+    output => rows-only by necessity; decode correctness is
+    pytest-verified (round-trip + feature recompute)."""
     _ship_package(spark)
     from indexer_spark.extras import multimodal
 
     pdf = multimodal.synth_image_assets(64, seed=3)
     df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
-    return multimodal.extract_features(df, decoder=multimodal.image_decoder)
+    feats = multimodal.extract_features(df, decoder=multimodal.image_decoder)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -576,11 +588,27 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle_sql(),
         "quality_scores": _quality_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
+        "fingerprints": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_filter(
+                               regexp_split_to_array(coalesce(text, ''), '\s+'),
+                               x -> x <> ''),
+                           ' ') AS norm
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN 0::BIGINT
+                        ELSE ('0x' || substr(md5(norm), 1, 15))::BIGINT
+                   END AS fingerprint
+            FROM n
+        """,
         # rows-only by necessity:
         #  - tokenize_udf: Porter2 stemming + reference lexer quirks have no
         #    SQL equivalent (pytest parity vs the oracle instead)
-        #  - fingerprints: mod-2^64 polynomial rolling hash is not
-        #    expressible in DuckDB SQL (pytest-verified)
+        #  - multimodal_features: binary image codec (PPM/BMP decode) is not
+        #    expressible in SQL (pytest round-trip + feature recompute)
     }
 
 

@@ -126,10 +126,139 @@ def _append_manifest(index_dir: str, rows: list[dict]) -> None:
 def _shard_map_path(d): return os.path.join(d, "shard_map")
 
 
+def _shard_files(root: str, shard: int) -> list[str]:
+    """Data files of one hive shard partition (skips _SUCCESS/.crc)."""
+    d = os.path.join(root, f"shard={int(shard)}")
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def _list_shards(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("shard="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _tok_shard_stats_local(index_dir: str, shards: list[int]) -> list[dict]:
+    """Per-shard (n, total_len, max_local) over the tok table WITHOUT a
+    Spark job: row counts and local_idx maxima come from parquet footer
+    metadata (row-group statistics); total_len reads only the doc_len
+    column (4 bytes/doc). Used at or below DRIVER_META_MAX_SHARDS — the
+    distributed groupBy path covers cluster-scale shard counts, where a
+    driver loop over shard dirs would not fly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = _tok_path(index_dir)
+    out = []
+    for s in shards:
+        files = _shard_files(root, s)
+        if not files:
+            continue
+        n, total_len, max_local = 0, 0, -1
+        for fp in files:
+            f = pq.ParquetFile(fp)
+            md = f.metadata
+            n += md.num_rows
+            col_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            li = col_names.index("local_idx")
+            have_stats = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(li).statistics
+                if st is None or not st.has_min_max:
+                    have_stats = False
+                    break
+                max_local = max(max_local, int(st.max))
+            cols = ["doc_len"] if have_stats else ["doc_len", "local_idx"]
+            tbl = f.read(columns=cols)
+            total_len += int(pc.sum(tbl.column("doc_len")).as_py() or 0)
+            if not have_stats:
+                max_local = max(
+                    max_local, int(pc.max(tbl.column("local_idx")).as_py())
+                )
+        out.append({
+            "shard": int(s), "n": int(n),
+            "total_len": int(total_len), "max_local": int(max_local),
+        })
+    return out
+
+
+def _tok_conv_bounds_local(index_dir: str) -> dict[int, tuple[str, str]] | None:
+    """Per-shard (min, max) conv_id from tok parquet footer statistics —
+    the (conv_id -> shard) lookup update_index uses to prune its
+    owner-discovery scan: shards are (conv_id, turn_idx) ranges by
+    construction (repartitionByRange at build), so footer bounds locate
+    candidate owners with zero data reads. Returns None when any file
+    lacks usable statistics (callers fall back to the full scan). At
+    cluster scale these bounds live in the table manifest (e.g. Iceberg's
+    per-file column bounds) instead of a driver loop."""
+    import pyarrow.parquet as pq
+
+    root = _tok_path(index_dir)
+    bounds: dict[int, tuple[str, str]] = {}
+    for s in _list_shards(root):
+        lo = hi = None
+        for fp in _shard_files(root, s):
+            md = pq.ParquetFile(fp).metadata
+            col_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = col_names.index("conv_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                if isinstance(mx, bytes):
+                    mx = mx.decode("utf-8", "replace")
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+        if lo is not None:
+            bounds[int(s)] = (lo, hi)
+    return bounds
+
+
 # above this many shards the offsets/counts map graduates out of
 # stats.json into a parquet table (broadcastable; JSON would balloon and
 # every stats read would parse it). Tunable via BuildConfig.
 SHARD_MAP_JSON_MAX = 4096
+
+# On-disk index format version, stamped into stats.json at build time and
+# checked on every open. v2 = per-term nbytes column in postings +
+# packed-int32-binary tfs in tok (round-2 format); indexes without the
+# stamp predate it. Readers/appenders fail fast on mismatch instead of
+# silently mixing formats (NULL nbytes in term_stats, string-vs-binary tfs
+# in update_index's retok path).
+FORMAT_VERSION = 2
+
+# Sentinel term for the per-(shard, task) metadata row the postings
+# builder emits alongside the real rows: carries n_terms / n_postings /
+# payload bytes, and doubles as the split-shard guard (two tasks touching
+# one shard -> two meta rows). Collision-proof: the lexer emits non-
+# alphanumeric characters as SINGLE-char tokens (lexer.py), so no real
+# term can be multi-char and start with \x00. Sorts before every real
+# term, so it lives in each file's first row group and term-stat pruning
+# makes reading it metadata-sized.
+META_TERM = "\x00meta"
+
+# At or below this many shards, post-write bookkeeping (per-shard counts,
+# postings metrics, duplicate guard) is read driver-side from parquet
+# footers / sentinel rows — metadata-sized IO instead of whole Spark
+# jobs, which at bench scale were ~half the build's fixed cost. Above it
+# (cluster-scale shard counts) the same numbers come from the distributed
+# aggregation paths kept alongside.
+DRIVER_META_MAX_SHARDS = 512
 
 
 def read_stats(index_dir: str) -> dict:
@@ -141,6 +270,14 @@ def read_stats(index_dir: str) -> dict:
     parquet directly.)"""
     with open(_stats_path(index_dir)) as f:
         stats = json.load(f)
+    found = int(stats.get("format_version", 1))
+    if found != FORMAT_VERSION:
+        raise RuntimeError(
+            f"index at {index_dir} has on-disk format v{found}; this "
+            f"engine reads/writes v{FORMAT_VERSION}. Rebuild the index "
+            "with build_index — mixing formats would corrupt term_stats "
+            "(missing nbytes) and update_index's retok path (tfs layout)."
+        )
     if stats.get("shard_map") == "parquet" and "shard_offsets" not in stats:
         import pyarrow.parquet as pq
 
@@ -160,6 +297,15 @@ def _write_stats(index_dir: str, stats: dict) -> None:
     parquet-backed, (re)write the shard_map table and keep the big dicts
     OUT of the JSON."""
     stats = dict(stats)
+    # strictly increasing epoch across every stats commit: keys the
+    # worker-side decoded-postings cache, so entries from a superseded
+    # index version are never served after an append/update/rebuild
+    try:
+        with open(_stats_path(index_dir)) as f:
+            on_disk = int(json.load(f).get("epoch", 0))
+    except Exception:
+        on_disk = 0
+    stats["epoch"] = max(on_disk, int(stats.get("epoch", 0))) + 1
     n_shards_mapped = len(stats.get("shard_offsets", ()))
     threshold = int(stats.get("shard_map_json_max", SHARD_MAP_JSON_MAX))
     if stats.get("shard_map") == "parquet" or n_shards_mapped > threshold:
@@ -292,20 +438,35 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     _dbg("tokenize+write", t1)
 
     t1 = time.time()
-    per_shard = (
-        spark.read.parquet(_tok_path(index_dir))
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("doc_len").alias("total_len"),
-            F.max("local_idx").alias("max_local"),
+    # per-shard counts/offsets: below DRIVER_META_MAX_SHARDS this is a
+    # driver-side footer read (row counts + local_idx maxima from parquet
+    # metadata, doc_len column only for total_len) — saves a whole Spark
+    # job per build; at cluster-scale shard counts the distributed agg
+    # does the same numbers
+    if p <= DRIVER_META_MAX_SHARDS:
+        per_shard = _tok_shard_stats_local(
+            index_dir, _list_shards(_tok_path(index_dir))
         )
-        .collect()
-    )
+    else:
+        per_shard = (
+            spark.read.parquet(_tok_path(index_dir))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("total_len"),
+                F.max("local_idx").alias("max_local"),
+            )
+            .collect()
+        )
     _dbg("stats-agg", t1)
     offsets, counts, acc, total_len = {}, {}, 0, 0
     for r in sorted(per_shard, key=lambda r: r["shard"]):
-        assert r["max_local"] + 1 == r["n"], "local_idx not dense within shard"
+        if r["max_local"] + 1 != r["n"]:
+            # doc-id stability invariant: must fail loudly even under -O
+            raise RuntimeError(
+                f"local_idx not dense within shard {r['shard']} "
+                f"(max_local={r['max_local']}, n={r['n']})"
+            )
         offsets[int(r["shard"])] = acc
         counts[int(r["shard"])] = int(r["n"])
         acc += int(r["n"])
@@ -313,6 +474,7 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     n_docs = acc
     avgdl = total_len / n_docs if n_docs else 0.0
     stats = {
+        "format_version": FORMAT_VERSION,
         "n_docs": int(n_docs),
         "total_len": int(total_len),
         "avgdl": float(avgdl),
@@ -400,9 +562,10 @@ def _make_postings_builder(
              zip(docs_col, tfs_col, dls_col)),
             dtype=np.int64, count=len(docs_col),
         )
-        return pd.DataFrame(
+        n_terms = starts.size - 1
+        out = pd.DataFrame(
             {
-                "shard": np.full(starts.size - 1, shard, dtype=np.int32),
+                "shard": np.full(n_terms, shard, dtype=np.int32),
                 "term": uniq[codes[starts[:-1]]],
                 "df": (starts[1:] - starts[:-1]).astype(np.int64),
                 "nbytes": nbytes,
@@ -412,6 +575,27 @@ def _make_postings_builder(
                 "blocks": blocks_col,
             }
         )
+        # sentinel meta row FIRST (META_TERM sorts before all real terms,
+        # preserving the term-sorted layout): per-(shard, task) metrics the
+        # post-write bookkeeping reads back without re-aggregating the
+        # table, plus the split-shard guard (>1 meta row per shard means a
+        # shard's file was split across tasks)
+        meta = pd.DataFrame(
+            {
+                "shard": np.array([shard], dtype=np.int32),
+                "term": [META_TERM],
+                "df": np.array([int(doc_s.size)], dtype=np.int64),
+                "nbytes": np.array([int(nbytes.sum())], dtype=np.int64),
+                "docs": [json.dumps({
+                    "n_terms": int(n_terms),
+                    "n_postings": int(doc_s.size),
+                }).encode()],
+                "tfs": [b""],
+                "dls": [b""],
+                "blocks": [[]],
+            }
+        )
+        return pd.concat([meta, out], ignore_index=True)
 
     return fn
 
@@ -504,27 +688,58 @@ def _stage_postings(
             conf.set("spark.sql.files.openCostInBytes", old_oc)
     wall = int((time.time() - t0) * 1000)
 
-    # per-shard metrics + duplicate-(shard,term) guard in ONE pass over the
-    # committed files. Scans ONLY (shard, term, df) — parquet column
-    # pruning keeps the just-written postings payload untouched; n_bytes
-    # comes from the committed file sizes (true storage bytes, free from
-    # the filesystem / table manifest). Explicit schema: no footer-based
-    # inference (matters with millions of shard files at scale) and an
-    # all-empty corpus (zero postings rows) still reads as an empty table
-    # instead of failing inference.
+    # per-shard metrics + split-shard guard from the builder's own
+    # sentinel meta rows (one per (shard, task)) — no re-aggregation of
+    # the table. Below DRIVER_META_MAX_SHARDS this is a driver-side
+    # pyarrow read; above, a term-pruned Spark scan. Either way, row-group
+    # term statistics prune the read to each file's first row group
+    # (META_TERM sorts before every real term), so the just-written
+    # payload bytes are never touched again. The guard is strictly
+    # stronger than the old duplicate-(shard,term) count: ANY split of a
+    # shard across tasks yields two meta rows, even a split whose halves
+    # hold disjoint terms.
     t1 = time.time()
-    per_term = (
-        spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
-        .filter(F.col("shard").isin([int(s) for s in pending]))
-        .groupBy("shard", "term")
-        .agg(F.count("*").alias("c"), F.sum("df").alias("sdf"))
-    )
-    m = per_term.groupBy("shard").agg(
-        F.count("*").alias("n_terms"),
-        F.sum("sdf").alias("n_postings"),
-        F.max("c").alias("max_dup"),
-    )
-    metrics = {r["shard"]: r for r in m.collect()}
+    metrics: dict[int, dict] = {}
+
+    def _acc_meta(shard_val: int, blob: bytes) -> None:
+        info = json.loads(bytes(blob))
+        m = metrics.setdefault(
+            int(shard_val), {"n_terms": 0, "n_postings": 0, "tasks": 0}
+        )
+        m["n_terms"] += int(info["n_terms"])
+        m["n_postings"] += int(info["n_postings"])
+        m["tasks"] += 1
+
+    pend = [int(s) for s in pending]
+    if not os.path.isdir(_postings_path(index_dir)):
+        metrics = {}  # empty corpus: no postings were written at all
+    elif len(pend) <= DRIVER_META_MAX_SHARDS:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(
+            _postings_path(index_dir), format="parquet", partitioning="hive"
+        )
+        if "term" in ds.schema.names:
+            tbl = ds.to_table(
+                columns=["shard", "docs"],
+                filter=pads.field("shard").isin(pend)
+                & (pads.field("term") == META_TERM),
+            )
+            for sh, blob in zip(
+                tbl.column("shard").to_pylist(), tbl.column("docs").to_pylist()
+            ):
+                _acc_meta(sh, blob)
+    else:
+        meta_rows = (
+            spark.read.schema(POSTINGS_SCHEMA)
+            .parquet(_postings_path(index_dir))
+            .filter(F.col("shard").isin(pend) & (F.col("term") == META_TERM))
+            .select("shard", "docs")
+            .collect()
+        )
+        for r in meta_rows:
+            _acc_meta(r["shard"], r["docs"])
+
     shard_bytes, max_file = {}, 0
     for s in pending:
         sd = os.path.join(_postings_path(index_dir), f"shard={int(s)}")
@@ -543,17 +758,17 @@ def _stage_postings(
     )
     _write_stats(index_dir, stats)
     _dbg("metrics+guard", t1)
-    dup = sum(1 for r in metrics.values() if r["max_dup"] > 1)
+    dup = sum(1 for m in metrics.values() if m["tasks"] > 1)
     if dup:
         raise RuntimeError(
-            f"postings build produced duplicated (shard, term) rows in "
-            f"{dup} shards — a shard file was split across tasks; raise "
-            "maxPartitionBytes above the largest tok file size"
+            f"postings build split {dup} shards across tasks (multiple "
+            "meta rows per shard); raise maxPartitionBytes above the "
+            "largest tok file size"
         )
     now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     rows = []
     for s in pending:
-        r = metrics.get(s)
+        r = metrics.get(int(s))
         rows.append({
             "stage": "postings", "shard": int(s), "status": "done",
             "n_terms": int(r["n_terms"]) if r else 0,
@@ -573,13 +788,22 @@ def _stage_term_stats(spark, index_dir) -> None:
     # nbytes = compressed postings payload per term: the reader's driver
     # fast path keys on it. Read from the stored per-row column — this
     # scan touches only (term, df, nbytes), never the payload bytes.
-    ts = post.groupBy("term").agg(
+    # Sentinel meta rows are bookkeeping, not terms. coalesce: NULL nbytes
+    # (mixed-format index) must degrade to 0, never crash global_dfs.
+    ts = post.filter(F.col("term") != META_TERM).groupBy("term").agg(
         F.sum("df").alias("df"),
-        F.sum("nbytes").alias("nbytes"),
+        F.coalesce(F.sum("nbytes"), F.lit(0)).alias("nbytes"),
     )
     np_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 8)
+    # hash repartition + in-file term sort (NOT repartitionByRange, whose
+    # RangePartitioner adds a whole sampling job per build): global_dfs'
+    # pyarrow point lookups prune on row-group term min/max stats, which a
+    # per-file sort provides; file-level range layout only saves checking
+    # a handful of footers and isn't worth a job. A 10^12-doc deployment
+    # fronting this with a dictionary service would range-bucket by term
+    # prefix instead.
     (
-        ts.repartitionByRange(np_parts, "term")
+        ts.repartition(np_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(_term_stats_path(index_dir))
@@ -776,22 +1000,29 @@ def append_index(
     )
 
     new_shards = list(range(base_shards, base_shards + p))
-    per_shard = (
-        spark.read.parquet(_tok_path(index_dir))
-        .filter(F.col("shard").isin(new_shards))
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("doc_len").alias("total_len"),
-            F.max("local_idx").alias("max_local"),
+    if p <= DRIVER_META_MAX_SHARDS:
+        per_shard = _tok_shard_stats_local(index_dir, new_shards)
+    else:
+        per_shard = (
+            spark.read.parquet(_tok_path(index_dir))
+            .filter(F.col("shard").isin(new_shards))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("total_len"),
+                F.max("local_idx").alias("max_local"),
+            )
+            .collect()
         )
-        .collect()
-    )
     offsets = {int(s): int(o) for s, o in stats["shard_offsets"].items()}
     counts = {int(s): int(c) for s, c in stats["shard_counts"].items()}
     acc, new_len = base_docs, 0
     for r in sorted(per_shard, key=lambda r: r["shard"]):
-        assert r["max_local"] + 1 == r["n"], "local_idx not dense within shard"
+        if r["max_local"] + 1 != r["n"]:
+            raise RuntimeError(
+                f"local_idx not dense within appended shard {r['shard']} "
+                f"(max_local={r['max_local']}, n={r['n']})"
+            )
         offsets[int(r["shard"])] = acc
         counts[int(r["shard"])] = int(r["n"])
         acc += int(r["n"])
@@ -869,10 +1100,13 @@ def update_index(
     the reader (per-shard avgdl_build), downward drift only makes stored
     block maxima looser upper bounds.
 
-    Scale note: locating owners is one broadcast semi-join over the tok
-    table (the change set is small by assumption). A 10^12-turn
-    deployment would keep a (conv_id -> shard) lookup table to prune that
-    scan; the per-shard rewrite cost is unchanged.
+    Scale note: locating owners is a broadcast semi-join over the tok
+    table, pruned first by the per-shard conv_id footer bounds (shards
+    are (conv_id, turn_idx) ranges by construction, so the bounds ARE the
+    (conv_id -> shard) lookup) — updating 1 turn in a 32-shard index
+    scans only the owning shard's file. At 10^12 turns the same bounds
+    live in the table manifest (Iceberg per-file column bounds) instead
+    of a driver footer loop; the per-shard rewrite cost is unchanged.
     """
     cfg = cfg or BuildConfig()
     from dataclasses import replace as _dc_replace
@@ -901,18 +1135,42 @@ def update_index(
         .dropDuplicates(["conv_id", "turn_idx"])
     )
     tok = spark.read.parquet(_tok_path(index_dir))
+    # owner discovery, pruned: candidate shards from the footer conv_id
+    # bounds first (zero data reads), then the exact broadcast semi-join
+    # scans only those shards' files (partition pruning on `shard`)
+    scan = tok
+    if int(stats["n_shards"]) <= DRIVER_META_MAX_SHARDS:
+        bounds = _tok_conv_bounds_local(index_dir)
+        if bounds is not None:
+            convs = [
+                r["conv_id"]
+                for r in keys.select("conv_id").distinct().collect()
+            ]
+            cand = sorted(
+                s for s, (lo, hi) in bounds.items()
+                if any(lo <= c <= hi for c in convs)
+            )
+            if not cand:
+                return stats
+            scan = tok.filter(F.col("shard").isin(cand))
     affected = sorted(
         r["shard"]
-        for r in tok.join(F.broadcast(keys), ["conv_id", "turn_idx"])
+        for r in scan.join(F.broadcast(keys), ["conv_id", "turn_idx"])
         .select("shard").distinct().collect()
     )
     if not affected:
         return stats
-    pre_len = {
-        r["shard"]: int(r["tl"])
-        for r in tok.filter(F.col("shard").isin(affected))
-        .groupBy("shard").agg(F.sum("doc_len").alias("tl")).collect()
-    }
+    if len(affected) <= DRIVER_META_MAX_SHARDS:
+        pre_len = {
+            r["shard"]: int(r["total_len"])
+            for r in _tok_shard_stats_local(index_dir, affected)
+        }
+    else:
+        pre_len = {
+            r["shard"]: int(r["tl"])
+            for r in tok.filter(F.col("shard").isin(affected))
+            .groupBy("shard").agg(F.sum("doc_len").alias("tl")).collect()
+        }
 
     def retok(batches):
         for pdf in batches:
@@ -955,25 +1213,31 @@ def update_index(
         .parquet(_tok_path(index_dir))
     )
 
-    post = (
-        spark.read.parquet(_tok_path(index_dir))
-        .filter(F.col("shard").isin(affected))
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("doc_len").alias("tl"),
-            F.max("local_idx").alias("max_local"),
+    if len(affected) <= DRIVER_META_MAX_SHARDS:
+        post = _tok_shard_stats_local(index_dir, affected)
+    else:
+        post = (
+            spark.read.parquet(_tok_path(index_dir))
+            .filter(F.col("shard").isin(affected))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("total_len"),
+                F.max("local_idx").alias("max_local"),
+            )
+            .collect()
         )
-        .collect()
-    )
     counts = {int(s): int(c) for s, c in stats["shard_counts"].items()}
     new_len_delta = 0
     for r in post:
         s = int(r["shard"])
-        assert r["max_local"] + 1 == r["n"] == counts[s], (
-            "update changed shard row population"
-        )
-        new_len_delta += int(r["tl"] or 0) - pre_len.get(s, 0)
+        if not (r["max_local"] + 1 == r["n"] == counts[s]):
+            raise RuntimeError(
+                f"update changed shard {s}'s row population "
+                f"(max_local={r['max_local']}, n={r['n']}, "
+                f"expected {counts[s]}) — doc-id stability violated"
+            )
+        new_len_delta += int(r["total_len"] or 0) - pre_len.get(s, 0)
     new_stats = dict(stats)
     base_total = int(
         stats.get("total_len", int(round(stats["avgdl"] * stats["n_docs"])))

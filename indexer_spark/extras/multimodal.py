@@ -2,12 +2,13 @@
 with typed metadata, processed through Arrow-batched mapInPandas.
 
 The Spark-side machinery (schemas, partitioning by kind, UDF signatures,
-batch shapes, byte budgets) is real and tested; the actual codec step is
-STUBBED behind `decoder=` because no image/audio library ships in this
-container: the default `deterministic_fake_decoder` derives features from
-the payload bytes (pure function of content — reproducible tests), and
-`strict_decoder` raises NotImplementedError to mark exactly where a real
-PIL/libsndfile decode plugs in.
+batch shapes, byte budgets) is real and tested. The codec step is real
+too for images (pure-numpy PPM P6/P3 + uncompressed 24/32-bit BMP) and
+audio (pure-numpy RIFF/PCM WAV) via `media_decoder`; only VIDEO decode is
+stubbed — no video codec ships in this container, so `strict_decoder`
+raises NotImplementedError to mark exactly where an ffmpeg-style decode
+plugs in, and `deterministic_fake_decoder` derives features from payload
+bytes (pure function of content) for plumbing tests.
 
 Scale notes: assets are processed in bounded Arrow batches
 (`spark.sql.execution.arrow.maxRecordsPerBatch` caps rows per batch, and
@@ -47,10 +48,11 @@ def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
 
 def strict_decoder(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
-        f"real {kind} decode requires an image/audio library not present "
-        "in this container; plug PIL/soundfile in here — or use "
-        "image_decoder, which really decodes PPM (P6/P3) and uncompressed "
-        "BMP with no external library"
+        f"real {kind} decode requires a codec library not present in this "
+        "container; plug PIL/ffmpeg in here — or use media_decoder, which "
+        "really decodes PPM (P6/P3) + uncompressed BMP images and RIFF/PCM "
+        "WAV audio with no external library (video remains the one stubbed "
+        "modality)"
     )
 
 
@@ -179,11 +181,115 @@ def image_features(arr: np.ndarray) -> np.ndarray:
 
 def image_decoder(payload: bytes, kind: str) -> np.ndarray:
     """REAL decoder for the image kind (PPM/BMP, pure numpy): decode
-    pixels, then featurize. Non-image kinds still raise — audio/video
-    codecs remain the documented plug point."""
+    pixels, then featurize. Non-image kinds go through media_decoder's
+    dispatch rules (audio is real too; video still raises)."""
     if kind != "image":
-        return strict_decoder(payload, kind)
+        return media_decoder(payload, kind)
     return image_features(decode_image_bytes(payload))
+
+
+# --------------------------------------------------------------------------
+# real audio codec: RIFF/PCM WAV (8/16-bit, any channel count) — pure
+# numpy, same no-external-library policy as the image codec above
+# --------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """(n,) or (n, channels) int samples -> RIFF/PCM WAV bytes.
+    16-bit signed little-endian or 8-bit unsigned per the WAV spec."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if bits == 16:
+        data = arr.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (arr.astype(np.int64) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = ch * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                       # PCM
+        + ch.to_bytes(2, "little")
+        + int(sample_rate).to_bytes(4, "little")
+        + (int(sample_rate) * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/PCM WAV -> ((n, channels) float64 in [-1, 1], sample_rate).
+    Walks the chunk list per the RIFF spec (skips LIST/fact/etc.);
+    PCM (format 1) 8-bit unsigned / 16-bit signed only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, end = 12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    fmt_info, data = None, None
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_info = (
+                int.from_bytes(body[0:2], "little"),   # audio format
+                int.from_bytes(body[2:4], "little"),   # channels
+                int.from_bytes(body[4:8], "little"),   # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits
+            )
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_info is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    afmt, ch, rate, bits = fmt_info
+    if afmt != 1 or bits not in (8, 16) or ch < 1:
+        raise ValueError(f"unsupported WAV (format={afmt}, bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2")
+        x = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    n = x.size // ch
+    return x[: n * ch].reshape(n, ch), rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """(n, ch) samples -> FEATURE_DIM deterministic features: mean, std,
+    rms, peak, zero-crossing rate (5) + 8-band normalized spectral energy
+    (rfft of the channel mean) + log duration, log sample rate, channel
+    count (3)."""
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    n = max(mono.size, 1)
+    if mono.size == 0:
+        mono = np.zeros(1)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+        if mono.size > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    bands = np.array([b.sum() for b in np.array_split(spec, 8)])
+    total = bands.sum()
+    bands = bands / total if total > 0 else bands
+    ch = samples.shape[1] if samples.ndim > 1 else 1
+    return np.concatenate([
+        [mono.mean(), mono.std(), np.sqrt(np.mean(mono ** 2)),
+         np.abs(mono).max(), zcr],
+        bands,
+        [np.log1p(n / max(sample_rate, 1)), np.log1p(sample_rate) / 20.0,
+         ch / 8.0],
+    ])
+
+
+def media_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """REAL decoder for image (PPM/BMP) and audio (RIFF/PCM WAV) kinds,
+    pure numpy end to end; video remains the documented stub boundary."""
+    if kind == "image":
+        return image_features(decode_image_bytes(payload))
+    if kind == "audio":
+        return audio_features(*decode_wav(payload))
+    return strict_decoder(payload, kind)
 
 
 def synth_image_assets(n: int, seed: int = 42) -> pd.DataFrame:
@@ -200,6 +306,31 @@ def synth_image_assets(n: int, seed: int = 42) -> pd.DataFrame:
         rows.append({
             "asset_id": i, "kind": "image", "payload": enc(arr),
             "width": w, "height": h, "sample_rate": None, "n_frames": None,
+        })
+    return pd.DataFrame(rows)
+
+
+def synth_audio_assets(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic REAL audio assets: sine+noise mixes encoded as
+    RIFF/PCM WAV (16-bit / 8-bit, mono / stereo round-robin), with true
+    sample_rate metadata."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100)[i % 3]
+        dur = int(rng.integers(32, 2048))
+        freq = float(rng.uniform(50, rate / 4))
+        t = np.arange(dur) / rate
+        x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(dur)
+        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        if i % 2:  # stereo: second channel attenuated
+            pcm = np.stack([pcm, pcm // 2], axis=1)
+        bits = 8 if i % 5 == 0 else 16
+        rows.append({
+            "asset_id": i, "kind": "audio",
+            "payload": encode_wav(pcm, rate, bits=bits),
+            "width": None, "height": None,
+            "sample_rate": rate, "n_frames": None,
         })
     return pd.DataFrame(rows)
 

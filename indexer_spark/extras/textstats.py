@@ -138,6 +138,30 @@ def token_counts(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     )
 
 
+def fingerprints_portable(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Cross-engine-checkable document fingerprint: 60-bit integer from
+    md5 over whitespace-normalized text (same normalization as
+    `fingerprints`). Same dedup semantics — equal fingerprints <=>
+    identical normalized text — but computable bit-for-bit in DuckDB SQL
+    (`('0x' || substr(md5(norm), 1, 15))::BIGINT`), so the driver harness
+    can oracle-check it; the engine keeps the numpy polynomial variant
+    (`fingerprints`) for the hot path. Fully JVM-side (md5 + conv)."""
+    norm = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: x != "",
+        ),
+        " ",
+    )
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    return df.select(
+        id_col,
+        F.when(F.length(norm) == 0, F.lit(0).cast("long"))
+        .otherwise(fp)
+        .alias("fingerprint"),
+    )
+
+
 _FP_BASE = np.uint64(1099511628211)
 
 

@@ -80,6 +80,44 @@ def _topk_merge(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[order], scores[order]
 
 
+class _DecodedLRU:
+    """Decoded-postings cache, byte-bounded LRU.
+
+    Lives at module level: Spark reuses Python worker processes across
+    tasks and queries, so a hot term's postings decode once per worker
+    instead of once per query (the driver fast path shares the same cache
+    in the driver process). Keys carry the index epoch (stats.json
+    ``epoch``, bumped on every stats commit) plus df and payload length,
+    so entries from a superseded index version can never be returned for
+    new bytes. Values are immutable numpy array tuples — scorers only
+    slice/astype them."""
+
+    def __init__(self, max_bytes: int = 128 << 20):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._bytes = 0
+        self.max_bytes = max_bytes
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+        return v
+
+    def put(self, key, arrays):
+        if key in self._d:
+            return
+        self._d[key] = arrays
+        self._bytes += sum(a.nbytes for a in arrays)
+        while self._bytes > self.max_bytes and self._d:
+            _, old = self._d.popitem(last=False)
+            self._bytes -= sum(a.nbytes for a in old)
+
+
+_DECODED_CACHE = _DecodedLRU()
+
+
 def _aggregate_scores(id_chunks, score_chunks):
     """Concat per-term contribution arrays -> per-doc sums.
 
@@ -95,17 +133,37 @@ def _aggregate_scores(id_chunks, score_chunks):
     return uids, sums
 
 
-def _make_exhaustive_scorer(weights: dict[str, float], k1, b, avgdl, k, kind):
+def _make_exhaustive_scorer(
+    weights: dict[str, float], k1, b, avgdl, k, kind, epoch: tuple | None = None,
+):
     """kind='bm25': contribution = w * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
-    kind='tfidf': contribution = w * tf (reference scorer, tree.rs:445-449)."""
+    kind='tfidf': contribution = w * tf (reference scorer, tree.rs:445-449).
+    ``epoch``: when set, full decoded lists go through the worker-side
+    _DECODED_CACHE so repeated hot-term queries skip the varint decode."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         pdf = pdf.sort_values("term", kind="stable")
+        has_shard = "shard" in pdf.columns
         id_chunks, sc_chunks = [], []
         for row in pdf.itertuples():
-            d, t, dl = decode_postings(row.docs, row.tfs, row.dls, int(row.df))
+            key = None
+            if epoch is not None:
+                key = (
+                    epoch, int(row.shard) if has_shard else -1, row.term,
+                    -1, int(row.df), len(row.docs),
+                )
+                cached = _DECODED_CACHE.get(key)
+            else:
+                cached = None
+            if cached is None:
+                cached = decode_postings(
+                    row.docs, row.tfs, row.dls, int(row.df)
+                )
+                if key is not None:
+                    _DECODED_CACHE.put(key, cached)
+            d, t, dl = cached
             w = weights[row.term]
             tf = t.astype(np.float64)
             if kind == "bm25":
@@ -151,6 +209,7 @@ def _shard_grouped(scorer):
 def _make_pruned_scorer(
     idf: dict[str, float], k1, b, avgdl, k, block_size,
     shard_ub_scale: dict[int, float] | None = None,
+    epoch: tuple | None = None,
 ):
     """Block-max safe pruning (BM25 only), segment-at-a-time.
 
@@ -167,16 +226,17 @@ def _make_pruned_scorer(
     restores safety (norm(a_now)/norm(a_build) < a_now/a_build)."""
 
     small_shard = SMALL_SHARD_THRESHOLD  # captured at scorer creation
-    exhaustive = _make_exhaustive_scorer(idf, k1, b, avgdl, k, "bm25")
+    exhaustive = _make_exhaustive_scorer(idf, k1, b, avgdl, k, "bm25", epoch=epoch)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         if int(pdf["df"].sum()) < small_shard:
             return exhaustive(pdf)
+        shard = int(pdf["shard"].iloc[0])
         ub_scale = 1.0
         if shard_ub_scale:
-            ub_scale = shard_ub_scale.get(int(pdf["shard"].iloc[0]), 1.0)
+            ub_scale = shard_ub_scale.get(shard, 1.0)
         pdf = pdf.sort_values("term", kind="stable")
         terms = []
         for row in pdf.itertuples():
@@ -189,6 +249,11 @@ def _make_pruned_scorer(
                 "lasts": lasts,
                 "ub": idf[row.term] * (k1 + 1.0) * np.minimum(norms * ub_scale, 1.0),
                 "w": idf[row.term], "cache": {},
+                # worker-side LRU key base (persists across queries)
+                "ckey": (
+                    (epoch, shard, row.term, int(row.df), len(row.docs))
+                    if epoch is not None else None
+                ),
             })
 
         # segment boundaries: union of block last_doc_ids across terms
@@ -220,10 +285,15 @@ def _make_pruned_scorer(
                     continue
                 cached = t["cache"].get(bi)
                 if cached is None:
-                    cached = decode_block_slice(
-                        t["docs"], t["tfs"], t["dls"], t["blocks"],
-                        bi, bi + 1, t["df"], block_size=block_size,
-                    )
+                    gkey = t["ckey"] + (bi,) if t["ckey"] is not None else None
+                    cached = _DECODED_CACHE.get(gkey) if gkey else None
+                    if cached is None:
+                        cached = decode_block_slice(
+                            t["docs"], t["tfs"], t["dls"], t["blocks"],
+                            bi, bi + 1, t["df"], block_size=block_size,
+                        )
+                        if gkey is not None:
+                            _DECODED_CACHE.put(gkey, cached)
                     t["cache"][bi] = cached
                 d, tf, dl = cached
                 s_idx = np.searchsorted(d, lo, side="left")
@@ -282,15 +352,27 @@ class IndexReader:
         self._nbytes_cache: dict[str, int] = {}
         self._has_nbytes: bool | None = None
         self._cached_postings = None
+        # decoded-postings cache namespace: (index identity, epoch). The
+        # epoch (bumped on every stats commit) invalidates entries across
+        # mutations of ONE index; the dir identity separates different
+        # indexes living in the same session (epochs alone collide there)
+        self._epoch = (index_dir, int(self.stats.get("epoch", 0)))
+        # lazily-built pyarrow dataset handles: constructing a dataset
+        # lists the directory — per-query at 10^5 shard dirs that listing
+        # would dominate the fast path, so build each handle once
+        self._ts_ds = None
+        self._post_ds = None
         # shuffle-free scoring requires whole-file scan tasks: pin the
         # split size above the largest committed postings file (recorded
         # at build time). If the conf cannot be raised, queries fall
         # back to the groupBy(shard) exchange plan (slower, always safe).
         self._whole_file_tasks = False
         self._conf_priors: dict[str, str] = {}
+        self._need_bytes: int | None = None
         max_file = self.stats.get("max_postings_file_bytes")
         if max_file is not None:  # indexes that recorded the invariant
             need = int(max_file) + 1
+            self._need_bytes = need
             try:
                 cur = _parse_bytes(
                     spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -367,7 +449,11 @@ class IndexReader:
         if missing:
             import pyarrow.dataset as pads
 
-            ds = pads.dataset(_term_stats_path(self.index_dir), format="parquet")
+            if self._ts_ds is None:
+                self._ts_ds = pads.dataset(
+                    _term_stats_path(self.index_dir), format="parquet"
+                )
+            ds = self._ts_ds
             if "term" not in ds.schema.names:  # zero-postings index
                 for t in missing:
                     self._df_cache[t] = 0
@@ -379,8 +465,10 @@ class IndexReader:
                 zip(tlist, (int(x) for x in tbl.column("df").to_pylist()))
             )
             if self._has_nbytes:
+                # `or 0`: NULL nbytes (e.g. a mixed-format index that
+                # slipped past the version guard) must not crash queries
                 nb = dict(
-                    zip(tlist, (int(x) for x in tbl.column("nbytes").to_pylist()))
+                    zip(tlist, (int(x or 0) for x in tbl.column("nbytes").to_pylist()))
                 )
                 for t in missing:
                     self._nbytes_cache[t] = nb.get(t, 0)
@@ -406,12 +494,14 @@ class IndexReader:
             return None
         import pyarrow.dataset as pads
 
-        ds = pads.dataset(
-            _postings_path(self.index_dir), format="parquet",
-            partitioning="hive",
-        )
-        tbl = ds.to_table(
-            columns=["term", "df", "docs", "tfs", "dls"],
+        if self._post_ds is None:
+            self._post_ds = pads.dataset(
+                _postings_path(self.index_dir), format="parquet",
+                partitioning="hive",
+            )
+        # shard included: the decoded-postings cache keys on it
+        tbl = self._post_ds.to_table(
+            columns=["shard", "term", "df", "docs", "tfs", "dls"],
             filter=pads.field("term").isin(present),
         )
         pdf = tbl.to_pandas()
@@ -455,7 +545,10 @@ class IndexReader:
         idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in present}
         fast = self._fast_scored(
             present,
-            _make_exhaustive_scorer(idf, st["k1"], st["b"], st["avgdl"], k, "bm25"),
+            _make_exhaustive_scorer(
+                idf, st["k1"], st["b"], st["avgdl"], k, "bm25",
+                epoch=self._epoch,
+            ),
         )
         if fast is not None:
             return fast
@@ -479,11 +572,13 @@ class IndexReader:
             scorer = _make_pruned_scorer(
                 idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"],
                 shard_ub_scale=self._ub_scale or None,
+                epoch=self._epoch,
             )
             cols = ["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
         else:
             scorer = _make_exhaustive_scorer(
-                idf, st["k1"], st["b"], st["avgdl"], k, "bm25"
+                idf, st["k1"], st["b"], st["avgdl"], k, "bm25",
+                epoch=self._epoch,
             )
             cols = ["shard", "term", "df", "docs", "tfs", "dls"]
         scored = self._apply_scorer(
@@ -496,6 +591,16 @@ class IndexReader:
         """Shuffle-free when whole-file tasks are guaranteed (score in
         place via mapInPandas); otherwise exchange by shard first."""
         if self._whole_file_tasks:
+            # re-pin the split-size confs on every query: another reader's
+            # close() may have restored lower priors session-wide, which
+            # would silently split a postings file across tasks and break
+            # the per-shard grouping this plan relies on
+            if self._need_bytes is not None:
+                for key in ("spark.sql.files.maxPartitionBytes",
+                            "spark.sql.files.openCostInBytes"):
+                    cur = _parse_bytes(self.spark.conf.get(key))
+                    if cur is None or cur < self._need_bytes:
+                        self.spark.conf.set(key, str(self._need_bytes))
             return postings.mapInPandas(
                 _shard_grouped(scorer), schema=_SCORE_SCHEMA
             )
@@ -522,7 +627,9 @@ class IndexReader:
             return []
         present = sorted(weights)
         kk = k if k is not None else n
-        scorer = _make_exhaustive_scorer(weights, 0, 0, 1.0, kk, "tfidf")
+        scorer = _make_exhaustive_scorer(
+            weights, 0, 0, 1.0, kk, "tfidf", epoch=self._epoch
+        )
         fast = self._fast_scored(present, scorer)
         if fast is not None:
             return fast

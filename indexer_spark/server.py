@@ -90,9 +90,17 @@ class QueryServer:
                     if not q:
                         self._send(400, json.dumps({"error": "missing q"}))
                         return
-                    k = int((qs.get("k") or [server_self.k_default])[0])
-                    mode = (qs.get("mode") or ["pruned"])[0]
-                    tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
+                    # parse params inside a guard: /search?k=abc must be a
+                    # 400 response, not a silently dropped connection
+                    try:
+                        k = int((qs.get("k") or [server_self.k_default])[0])
+                        mode = (qs.get("mode") or ["pruned"])[0]
+                        if mode not in ("pruned", "exhaustive"):
+                            raise ValueError(f"bad mode {mode!r}")
+                        tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
+                    except ValueError as e:
+                        self._send(400, json.dumps({"error": str(e)}))
+                        return
                     try:
                         rows = server_self._search(q, k, mode, tfidf)
                     except Exception as e:  # surface, don't kill the thread

@@ -83,13 +83,34 @@ def warm_workers(spark: SparkSession) -> None:
     from pyspark.sql import functions as F
 
     cores = spark.sparkContext.defaultParallelism
+    local_master = spark.sparkContext.master.startswith("local")
+
+    def warm_src():
+        return spark.range(0, cores * 20_000, 1, cores).select(
+            "id", F.md5(F.col("id").cast("string")).alias("s")
+        )
+
+    if not local_master:
+        # multi-node cluster: a driver-local tempfile path isn't visible to
+        # executors, so skip the parquet round-trip — the in-memory
+        # mapInPandas pass still warms worker imports/JIT on every executor
+        # (a real deployment would point the round-trip at shared scratch)
+        def warm_mem(batches):
+            import numpy as np  # noqa: F401
+            import pandas as pd_
+
+            from . import compress, lexer  # noqa: F401
+
+            lexer.tokenize("warming up the stemmer cache")
+            for pdf in batches:
+                yield pd_.DataFrame({"x": pdf["id"][:1]})
+
+        warm_src().mapInPandas(warm_mem, "x long").count()
+        return
+
     tmp = tempfile.mkdtemp(prefix="indexer_spark_warm_")
     try:
-        (
-            spark.range(0, cores * 20_000, 1, cores)
-            .select("id", F.md5(F.col("id").cast("string")).alias("s"))
-            .write.mode("overwrite").parquet(os.path.join(tmp, "in"))
-        )
+        warm_src().write.mode("overwrite").parquet(os.path.join(tmp, "in"))
 
         def warm(batches):
             import numpy as np

@@ -54,7 +54,12 @@ def test_postings_parity(spark, built_index, oracle_index):
     from indexer_spark.compress import decode_postings
 
     index_dir, _ = built_index
-    rows = spark.read.parquet(_postings_path(index_dir)).collect()
+    from indexer_spark.build import META_TERM
+
+    rows = [
+        r for r in spark.read.parquet(_postings_path(index_dir)).collect()
+        if r["term"] != META_TERM  # bookkeeping sentinel, not a posting
+    ]
     got: dict[str, list[tuple[int, int]]] = {}
     for r in rows:
         ids, tfs, _dls = decode_postings(
@@ -83,7 +88,14 @@ def test_dl_stream_matches_docstore(spark, built_index, oracle_index):
     from indexer_spark.compress import decode_postings
 
     index_dir, _ = built_index
-    rows = spark.read.parquet(_postings_path(index_dir)).limit(50).collect()
+    from indexer_spark.build import META_TERM
+
+    rows = (
+        spark.read.parquet(_postings_path(index_dir))
+        .filter(F.col("term") != META_TERM)
+        .limit(50)
+        .collect()
+    )
     for r in rows:
         ids, _tfs, dls = decode_postings(
             bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]), r["df"]

@@ -308,6 +308,67 @@ def test_image_decoder_real_features(spark):
         assert np.isfinite(by_id[i]).all()
 
 
+def test_wav_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    for n, ch, rate in [(1, 1, 8000), (333, 1, 16000), (1024, 2, 44100)]:
+        pcm = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        dec, got_rate = multimodal.decode_wav(
+            multimodal.encode_wav(pcm, rate, bits=16)
+        )
+        assert got_rate == rate and dec.shape == (n, ch)
+        assert np.array_equal((dec * 32768.0).astype(np.int16), pcm)
+    # 8-bit path round-trips through the unsigned representation
+    pcm8 = rng.integers(-128, 128, (100, 1)).astype(np.int16)
+    dec8, _ = multimodal.decode_wav(multimodal.encode_wav(pcm8, 8000, bits=8))
+    assert np.array_equal((dec8 * 128.0).round().astype(np.int64),
+                          pcm8.astype(np.int64))
+    # chunk walker skips unknown chunks before data
+    wav = multimodal.encode_wav(pcm8, 8000, bits=16)
+    chunks = wav[12:]  # fmt + data chunks after the RIFF/WAVE preamble
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = (b"RIFF"
+               + (4 + len(extra) + len(chunks)).to_bytes(4, "little")
+               + b"WAVE" + extra + chunks)
+    dec2, _ = multimodal.decode_wav(patched)
+    assert dec2.shape == (100, 1)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"OggS....")
+
+
+def test_audio_decoder_real_features(spark):
+    """The REAL audio path: WAV bytes -> samples -> features inside the
+    Spark pipeline, identical to a driver-side recompute."""
+    pdf = multimodal.synth_audio_assets(15, seed=4)
+    df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
+    feats = multimodal.extract_features(
+        df, decoder=multimodal.media_decoder).collect()
+    assert len(feats) == 15
+    by_id = {r["asset_id"]: np.array(r["feature"]) for r in feats}
+    for i in (0, 1, 2, 5):  # 8-bit, 16-bit stereo, 16-bit mono variants
+        samples, rate = multimodal.decode_wav(bytes(pdf["payload"].iloc[i]))
+        assert rate == pdf["sample_rate"].iloc[i]
+        assert np.allclose(by_id[i], multimodal.audio_features(samples, rate))
+        assert len(by_id[i]) == multimodal.FEATURE_DIM
+        assert np.isfinite(by_id[i]).all()
+
+
+def test_media_decoder_mixed_kinds(spark):
+    """image + audio assets through ONE extract_features pass — the
+    per-kind dispatch a mixed 100-TB asset table would run; video alone
+    still raises (the remaining stub boundary)."""
+    imgs = multimodal.synth_image_assets(6, seed=2)
+    auds = multimodal.synth_audio_assets(6, seed=2)
+    auds["asset_id"] = auds["asset_id"] + 100
+    import pandas as pd
+
+    both = pd.concat([imgs, auds], ignore_index=True)
+    df = spark.createDataFrame(both, schema=multimodal.ASSET_SCHEMA)
+    feats = multimodal.extract_features(
+        df, decoder=multimodal.media_decoder).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+
+
 def test_multimodal_features(spark):
     pdf = multimodal.synth_assets(30, seed=9)
     df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
