@@ -77,6 +77,13 @@ def lsh_candidate_pairs(
     allb = band_frames[0]
     for x in band_frames[1:]:
         allb = allb.unionByName(x)
+    # persist: the banded frame feeds the bucket-size agg AND both sides
+    # of the self-join; without this the signature computation's
+    # correctness-as-one-snapshot relies on Spark's ReuseExchange finding
+    # identical subplans (it does today, but that's an optimizer detail).
+    # Spark's LRU cache eviction bounds the footprint; a 100 TB pipeline
+    # would checkpoint the signatures to a table here instead.
+    allb = allb.persist()
     sized = allb.join(
         allb.groupBy("band", "bucket").count(), ["band", "bucket"]
     ).filter(F.col("count") <= max_bucket_size)
@@ -307,6 +314,11 @@ def embedding_near_duplicates(
         id_col,
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     ).withColumn("bucket", F.explode(buckets_of("v")))
+    # persist: the bucket frame feeds the size agg and both join sides —
+    # one pandas-UDF bucketing pass, not three (and no reliance on
+    # ReuseExchange); LRU eviction bounds memory, a 100 TB pipeline would
+    # write the buckets out as a table instead
+    vd = vd.persist()
     # sized-join cap: drop degenerate buckets before the self-join
     sized = vd.join(
         vd.groupBy("bucket").count(), "bucket"

@@ -73,9 +73,20 @@ def _bm25_idf(n: int, df: int) -> float:
 
 
 def _topk_merge(ids: np.ndarray, scores: np.ndarray, k: int):
-    """Exact top-k with (score desc, doc_id asc) tiebreak."""
-    if ids.size == 0:
+    """Exact top-k with (score desc, doc_id asc) tiebreak.
+
+    For large candidate sets, an O(n) argpartition narrows to every
+    element scoring >= the k-th best BEFORE the O(m log m) lexsort —
+    a full sort of millions of candidates for a top-10 was the single
+    biggest cost of hot-term queries. Ties at the boundary are kept in
+    the narrowed set, so the doc_id-asc tiebreak stays exact."""
+    n = ids.size
+    if n == 0:
         return ids, scores
+    if n > max(4096, 4 * k) and k < n:
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        mask = scores >= kth  # >= keeps boundary ties for the tiebreak
+        ids, scores = ids[mask], scores[mask]
     order = np.lexsort((ids, -scores))[:k]
     return ids[order], scores[order]
 
@@ -86,11 +97,12 @@ class _DecodedLRU:
     Lives at module level: Spark reuses Python worker processes across
     tasks and queries, so a hot term's postings decode once per worker
     instead of once per query (the driver fast path shares the same cache
-    in the driver process). Keys carry the index epoch (stats.json
-    ``epoch``, bumped on every stats commit) plus df and payload length,
-    so entries from a superseded index version can never be returned for
-    new bytes. Values are immutable numpy array tuples — scorers only
-    slice/astype them."""
+    in the driver process). Keys carry the reader's cache namespace —
+    (index dir, stats.json ``epoch``, bumped on every stats commit) —
+    plus df and payload length, so entries from a superseded index
+    version, or from a different index in the same session, can never be
+    returned for other bytes. Values are immutable numpy array tuples —
+    scorers only slice/astype them."""
 
     def __init__(self, max_bytes: int = 128 << 20):
         from collections import OrderedDict
@@ -119,18 +131,49 @@ _DECODED_CACHE = _DecodedLRU()
 
 
 def _aggregate_scores(id_chunks, score_chunks):
-    """Concat per-term contribution arrays -> per-doc sums.
+    """Per-term contribution arrays -> per-doc sums, O(n) with no sort.
 
-    Chunks must be appended in sorted-term order; the stable sort then
-    preserves that order within each doc_id group, pinning float
-    summation order to the oracle's (sorted unique terms)."""
-    ids = np.concatenate(id_chunks)
-    sc = np.concatenate(score_chunks)
-    order = np.argsort(ids, kind="stable")
-    ids, sc = ids[order], sc[order]
-    uids, starts = np.unique(ids, return_index=True)
-    sums = np.add.reduceat(sc, starts)
-    return uids, sums
+    doc_ids are DENSE (engine-assigned, §2.5), so a [min, max] range
+    accumulator replaces the old stable-argsort + np.unique (two full
+    sorts of every posting for a top-10 query). Within one chunk ids are
+    unique (a term's postings) so fancy `+=` is safe; chunks arrive in
+    sorted-term order and each doc's additions happen chunk-by-chunk in
+    that order — the same sequential per-doc summation order as the old
+    reduceat, so float results are bit-identical and stay pinned to the
+    oracle's (sorted unique terms) order.
+
+    Exact-zero sums are dropped by the nonzero scan — for TF-IDF this IS
+    quirk P8 (tree.rs:456-459); BM25 contributions are strictly positive
+    (idf > 0 for df < N), so nothing real is lost."""
+    nonempty = [c for c in id_chunks if c.size]
+    if not nonempty:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.float64)
+    lo = min(int(c[0]) for c in nonempty)  # chunks are doc_id-sorted
+    hi = max(int(c[-1]) for c in nonempty)
+    span = hi - lo + 1
+    n_total = sum(c.size for c in nonempty)
+    if span > max(4 * n_total, 1 << 20):
+        # sparse hits across a huge id range (possible only on the
+        # driver path of a very large index): sort-based aggregation
+        # instead of a span-sized accumulator
+        ids = np.concatenate(id_chunks)
+        sc = np.concatenate(score_chunks)
+        order = np.argsort(ids, kind="stable")  # stable keeps term order
+        ids, sc = ids[order], sc[order]
+        firsts = np.empty(ids.size, dtype=bool)
+        firsts[0] = True
+        np.not_equal(ids[1:], ids[:-1], out=firsts[1:])
+        starts = np.nonzero(firsts)[0]
+        sums = np.add.reduceat(sc, starts)
+        keep = sums != 0.0
+        return ids[starts][keep], sums[keep]
+    acc = np.zeros(span, dtype=np.float64)
+    for d, s in zip(id_chunks, score_chunks):
+        if d.size:
+            acc[d - lo] += s
+    nz = np.nonzero(acc)[0]
+    return nz + lo, acc[nz]
 
 
 def _make_exhaustive_scorer(
@@ -476,6 +519,68 @@ class IndexReader:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
+    def warm_hot_terms(self, n_terms: int = 16,
+                       budget_bytes: int | None = None) -> int:
+        """Pre-decode the largest posting lists into the decoded-postings
+        cache (driver side), ranked by term_stats ``nbytes``. A query
+        service calls this at startup so the FIRST query for a hot term
+        doesn't pay its decode — repeated queries hit the cache anyway.
+        Returns how many terms were warmed. Budget defaults to half the
+        cache so warming can't evict everything else. At 10^12 docs a
+        serving node warms from the same term_stats ranking; executors
+        warm organically via Python-worker reuse."""
+        import pyarrow.dataset as pads
+
+        if self._ts_ds is None:
+            self._ts_ds = pads.dataset(
+                _term_stats_path(self.index_dir), format="parquet"
+            )
+        ds = self._ts_ds
+        if "term" not in ds.schema.names or "nbytes" not in ds.schema.names:
+            return 0
+        self._has_nbytes = True
+        tbl = ds.to_table(columns=["term", "df", "nbytes"])
+        rows = sorted(
+            zip(
+                tbl.column("term").to_pylist(),
+                tbl.column("df").to_pylist(),
+                tbl.column("nbytes").to_pylist(),
+            ),
+            key=lambda r: -(r[2] or 0),
+        )[:n_terms]
+        if not rows:
+            return 0
+        budget = (budget_bytes if budget_bytes is not None
+                  else _DECODED_CACHE.max_bytes // 2)
+        picked = []
+        spent = 0
+        for t, df, nb in rows:
+            nb = int(nb or 0)
+            if spent + nb > budget and picked:
+                break
+            picked.append(t)
+            spent += nb
+            self._df_cache[t] = int(df)
+            self._nbytes_cache[t] = nb
+        if self._post_ds is None:
+            self._post_ds = pads.dataset(
+                _postings_path(self.index_dir), format="parquet",
+                partitioning="hive",
+            )
+        ptbl = self._post_ds.to_table(
+            columns=["shard", "term", "df", "docs", "tfs", "dls"],
+            filter=pads.field("term").isin(picked),
+        )
+        for sh, t, df, docs, tfs, dls in zip(
+            ptbl.column("shard").to_pylist(), ptbl.column("term").to_pylist(),
+            ptbl.column("df").to_pylist(), ptbl.column("docs").to_pylist(),
+            ptbl.column("tfs").to_pylist(), ptbl.column("dls").to_pylist(),
+        ):
+            key = (self._epoch, int(sh), t, -1, int(df), len(docs))
+            if _DECODED_CACHE.get(key) is None:
+                _DECODED_CACHE.put(key, decode_postings(docs, tfs, dls, int(df)))
+        return len(picked)
+
     def _fast_scored(self, present: list[str], scorer) -> list | None:
         """Driver fast path: when the matched postings payload is small
         (per-term nbytes from term_stats), read the matched rows with
@@ -543,6 +648,12 @@ class IndexReader:
             return []
         st = self.stats
         idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in present}
+        # the fast path always scores exhaustively: with the O(n) dense
+        # aggregation + argpartition top-k, one vectorized pass beats the
+        # segment-at-a-time pruning loop run serially over every shard
+        # (measured 10x on hot terms driver-side; pruning pays off only
+        # where per-shard work runs in parallel, i.e. the distributed
+        # plan). Results are identical either way (pruning is exact).
         fast = self._fast_scored(
             present,
             _make_exhaustive_scorer(

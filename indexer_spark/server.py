@@ -47,8 +47,16 @@ class QueryServer:
     daemon thread and returns the bound port (port=0 picks a free one)."""
 
     def __init__(self, spark, index_dir: str, host: str = "127.0.0.1",
-                 port: int = 0, k_default: int = 10):
+                 port: int = 0, k_default: int = 10,
+                 warm_hot_terms: int = 32):
         self.reader = IndexReader(spark, index_dir)
+        if warm_hot_terms:
+            try:
+                # pre-decode the hottest posting lists: the first user
+                # query for a hot term shouldn't pay its decode
+                self.reader.warm_hot_terms(warm_hot_terms)
+            except Exception:
+                pass  # serving still works cold
         self.host, self.port, self.k_default = host, port, k_default
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None

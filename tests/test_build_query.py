@@ -199,6 +199,26 @@ def test_driver_fast_path_identity(spark, built_index, oracle_index):
         assert tiny.last_path == "distributed"
 
 
+def test_warm_hot_terms_identity(spark, built_index, oracle_index):
+    """Pre-decoding the hottest posting lists (query-service startup
+    warm) must change latency only — results stay rank- and
+    score-identical on every reference query."""
+    from indexer_spark.query import _DECODED_CACHE
+
+    index_dir, _ = built_index
+    reader = IndexReader(spark, index_dir)
+    warmed = reader.warm_hot_terms(8)
+    assert warmed > 0
+    # the cache now holds entries under this reader's namespace
+    assert any(k[0] == reader._epoch for k in _DECODED_CACHE._d)
+    for qid, q, k in gen_queries():
+        want = oracle_index.search_bm25(q, k)
+        got = reader.search(q, k)
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, q)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q)
+
+
 def test_parse_bytes():
     from indexer_spark.query import _parse_bytes
 

@@ -34,6 +34,55 @@ def test_iceberg_gated_without_runtime_jar(spark):
         read_source(spark, "catalog.db.transcripts", "iceberg")
 
 
+def test_iceberg_branch_with_mocked_catalog(monkeypatch):
+    """Execute the iceberg read branch against a recording fake session:
+    the sandbox ships no runtime jar, so this covers the snapshot-option
+    plumbing (format name, snapshot-id / as-of-timestamp options, catalog
+    table load) that a real cluster session would exercise."""
+    from indexer_spark import sources
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt, self.opts, self.loaded = None, {}, None
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self, loc):
+            self.loaded = loc
+            return ("df", loc)
+
+    class FakeSpark:
+        def __init__(self):
+            self.reader = FakeReader()
+
+        @property
+        def read(self):
+            return self.reader
+
+    monkeypatch.setattr(sources, "_has_iceberg", lambda spark: True)
+
+    fake = FakeSpark()
+    out = sources.read_source(fake, "cat.db.transcripts", "iceberg",
+                              snapshot_id=1234)
+    assert out == ("df", "cat.db.transcripts")
+    assert fake.reader.fmt == "iceberg"
+    assert fake.reader.opts == {"snapshot-id": "1234"}
+
+    fake2 = FakeSpark()
+    sources.read_source(fake2, "cat.db.t2", "iceberg",
+                        as_of_timestamp=1700000000000)
+    assert fake2.reader.opts == {"as-of-timestamp": "1700000000000"}
+    fake3 = FakeSpark()
+    sources.read_source(fake3, "cat.db.t3", "iceberg")
+    assert fake3.reader.opts == {}
+
+
 def test_csv_transcripts(spark, tmp_path):
     """CSV -> transcripts shape: one row per turn, text = space-joined
     fields (reference parsers.rs CSV join), dense per-file turn_idx, and
