@@ -105,26 +105,33 @@ class _DecodedLRU:
     scorers only slice/astype them."""
 
     def __init__(self, max_bytes: int = 128 << 20):
+        import threading
         from collections import OrderedDict
 
         self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._bytes = 0
         self.max_bytes = max_bytes
+        # the threaded query server shares one reader across request
+        # threads; individual dict ops are GIL-atomic but the
+        # move_to_end/evict sequences are not, so guard them
+        self._lock = threading.Lock()
 
     def get(self, key):
-        v = self._d.get(key)
-        if v is not None:
-            self._d.move_to_end(key)
-        return v
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+            return v
 
     def put(self, key, arrays):
-        if key in self._d:
-            return
-        self._d[key] = arrays
-        self._bytes += sum(a.nbytes for a in arrays)
-        while self._bytes > self.max_bytes and self._d:
-            _, old = self._d.popitem(last=False)
-            self._bytes -= sum(a.nbytes for a in old)
+        with self._lock:
+            if key in self._d:
+                return
+            self._d[key] = arrays
+            self._bytes += sum(a.nbytes for a in arrays)
+            while self._bytes > self.max_bytes and self._d:
+                _, old = self._d.popitem(last=False)
+                self._bytes -= sum(a.nbytes for a in old)
 
 
 _DECODED_CACHE = _DecodedLRU()
@@ -187,17 +194,25 @@ def _make_exhaustive_scorer(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
+        # resolve the cache through the module AT CALL TIME: a direct
+        # global reference would be captured BY VALUE by cloudpickle
+        # (closures serialize their referenced globals), shipping the
+        # driver's cache snapshot inside every task and giving each task
+        # a private copy instead of the worker-shared module-level LRU
+        cache = None
+        if epoch is not None:
+            from indexer_spark.query import _DECODED_CACHE as cache
         pdf = pdf.sort_values("term", kind="stable")
         has_shard = "shard" in pdf.columns
         id_chunks, sc_chunks = [], []
         for row in pdf.itertuples():
             key = None
-            if epoch is not None:
+            if cache is not None:
                 key = (
                     epoch, int(row.shard) if has_shard else -1, row.term,
                     -1, int(row.df), len(row.docs),
                 )
-                cached = _DECODED_CACHE.get(key)
+                cached = cache.get(key)
             else:
                 cached = None
             if cached is None:
@@ -205,7 +220,7 @@ def _make_exhaustive_scorer(
                     row.docs, row.tfs, row.dls, int(row.df)
                 )
                 if key is not None:
-                    _DECODED_CACHE.put(key, cached)
+                    cache.put(key, cached)
             d, t, dl = cached
             w = weights[row.term]
             tf = t.astype(np.float64)
@@ -276,6 +291,10 @@ def _make_pruned_scorer(
             return pd.DataFrame({"doc_id": [], "score": []})
         if int(pdf["df"].sum()) < small_shard:
             return exhaustive(pdf)
+        # runtime import, NOT a global reference: see exhaustive scorer
+        gcache = None
+        if epoch is not None:
+            from indexer_spark.query import _DECODED_CACHE as gcache
         shard = int(pdf["shard"].iloc[0])
         ub_scale = 1.0
         if shard_ub_scale:
@@ -328,15 +347,19 @@ def _make_pruned_scorer(
                     continue
                 cached = t["cache"].get(bi)
                 if cached is None:
-                    gkey = t["ckey"] + (bi,) if t["ckey"] is not None else None
-                    cached = _DECODED_CACHE.get(gkey) if gkey else None
+                    gkey = (
+                        t["ckey"] + (bi,)
+                        if (t["ckey"] is not None and gcache is not None)
+                        else None
+                    )
+                    cached = gcache.get(gkey) if gkey else None
                     if cached is None:
                         cached = decode_block_slice(
                             t["docs"], t["tfs"], t["dls"], t["blocks"],
                             bi, bi + 1, t["df"], block_size=block_size,
                         )
                         if gkey is not None:
-                            _DECODED_CACHE.put(gkey, cached)
+                            gcache.put(gkey, cached)
                     t["cache"][bi] = cached
                 d, tf, dl = cached
                 s_idx = np.searchsorted(d, lo, side="left")
