@@ -352,6 +352,59 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
+def _q_neardup_verified(spark, sf_dir):
+    """Full near-dup pipeline, end to end: MinHash+LSH banding for
+    candidates (md5-portable variant) -> exact token-set Jaccard
+    verification at 0.8 — candidates only, never all-pairs. Integer
+    intersection/union sizes make the ratio float-order-safe."""
+    pairs = _q_minhash_pairs(spark, sf_dir)
+    tok = _tokens(spark, sf_dir).distinct()
+    sets_ = tok.groupBy("doc_id").agg(F.collect_set("term").alias("terms"))
+    j = (
+        pairs.join(
+            sets_.select(
+                F.col("doc_id").alias("doc_a"), F.col("terms").alias("ta")
+            ),
+            "doc_a",
+        ).join(
+            sets_.select(
+                F.col("doc_id").alias("doc_b"), F.col("terms").alias("tb")
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return (
+        j.select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def _q_quality_by_lang(spark, sf_dir):
+    """Curation-pipeline rollup: predicted language x quality mass —
+    the join+aggregate a training-data filter sweep runs per shard.
+    Decimal-exact quality sum keeps the double order-independent."""
+    _ship_package(spark)
+    from indexer_spark.extras.textstats import language_id, quality_scores
+
+    docs = _docs(spark, sf_dir)
+    lang = language_id(docs)
+    qual = quality_scores(docs).select("doc_id", "quality")
+    return (
+        lang.join(qual, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_quality"),
+        )
+    )
+
+
 def _q_tokenize_udf(spark, sf_dir):
     """The real reference-parity tokenizer (lex+stem+stop) as an Arrow
     pandas UDF — not SQL-expressible (rows-only check; full parity is
@@ -445,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "top_users": _q_top_users,
         "minhash_pairs": _q_minhash_pairs,
+        "neardup_verified": _q_neardup_verified,
+        "quality_by_lang": _q_quality_by_lang,
         "tokenize_udf": _q_tokenize_udf,
         "simhash": _q_simhash,
         "quality_scores": _q_quality,
@@ -585,6 +640,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_value DESC, user_id ASC LIMIT 10
         """,
         "minhash_pairs": _minhash_oracle_sql(tok),
+        "neardup_verified": f"""
+            WITH pairs AS ({_minhash_oracle_sql(tok)}),
+            sets AS (
+                SELECT doc_id, list(term) AS terms
+                FROM (SELECT DISTINCT doc_id, term FROM ({tok}) t
+                      WHERE term <> '')
+                GROUP BY doc_id
+            )
+            SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+                   round(len(list_intersect(a.terms, b.terms))::DOUBLE
+                         / len(list_distinct(a.terms || b.terms)), 6)
+                     AS jaccard
+            FROM pairs p
+            JOIN sets a ON a.doc_id = p.doc_a
+            JOIN sets b ON b.doc_id = p.doc_b
+            WHERE round(len(list_intersect(a.terms, b.terms))::DOUBLE
+                        / len(list_distinct(a.terms || b.terms)), 6) >= 0.8
+        """,
+        "quality_by_lang": f"""
+            WITH lang AS ({_lang_id_oracle_sql()}),
+            qual AS ({_quality_oracle_sql()})
+            SELECT l.lang_pred AS lang_pred,
+                   count(*)::BIGINT AS n_docs,
+                   round(sum(q.quality::DECIMAL(18,6))::DOUBLE, 6)
+                     AS total_quality
+            FROM lang l JOIN qual q USING (doc_id)
+            GROUP BY l.lang_pred
+        """,
         "simhash": _simhash_oracle_sql(),
         "quality_scores": _quality_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),

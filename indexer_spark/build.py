@@ -96,6 +96,12 @@ class BuildConfig:
     #                                 => term-predicate pruning within files
     shard_map_json_max: int = 4096  # above this many shards, offsets/counts
     #                                 live in a parquet shard_map table
+    presorted_source: bool = False  # caller asserts every input partition
+    #   is sorted by (conv_id, turn_idx) and partitions are range-disjoint
+    #   (e.g. an Iceberg table with a conv_id sort order): the ids stage
+    #   then skips its range shuffle entirely — shard == scan partition.
+    #   Within-partition order is VERIFIED at tokenize time (loud failure);
+    #   ids follow scan-partition order instead of global sort order.
     extra_lineage: dict = field(default_factory=dict)
 
 
@@ -340,7 +346,7 @@ def _write_stats(index_dir: str, stats: dict) -> None:
 # stage "ids": deterministic dense doc ids + tokenize -> forward index
 # --------------------------------------------------------------------------
 
-def _make_tokenizer(shard_base: int = 0):
+def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False):
     """mapInPandas fn: tokenize + assign LOCAL per-shard doc indices.
 
     Runs once per partition (iterator of Arrow batches); the partition's
@@ -359,11 +365,33 @@ def _make_tokenizer(shard_base: int = 0):
     def fn(batches):
         shard = None
         local = 0
+        prev_key = None  # (conv_id, turn_idx) of the previous row
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if shard is None:
                 shard = shard_base + int(pdf["pid"].iloc[0])
+            if verify_sorted:
+                # presorted-source contract: rows of this partition must
+                # arrive in (conv_id, turn_idx) order — a violated
+                # assertion here is cheap insurance against silently
+                # mis-ordered doc ids when the shuffle is skipped
+                c = pdf["conv_id"]
+                t = pdf["turn_idx"]
+                bad = (c.iloc[1:].to_numpy() < c.iloc[:-1].to_numpy()) | (
+                    (c.iloc[1:].to_numpy() == c.iloc[:-1].to_numpy())
+                    & (t.iloc[1:].to_numpy() < t.iloc[:-1].to_numpy())
+                )
+                first_bad = (
+                    prev_key is not None
+                    and (str(c.iloc[0]), int(t.iloc[0])) < prev_key
+                )
+                if bad.any() or first_bad:
+                    raise RuntimeError(
+                        "presorted_source=True but input partition "
+                        f"{shard} is not sorted by (conv_id, turn_idx)"
+                    )
+                prev_key = (str(c.iloc[-1]), int(t.iloc[-1]))
             n = len(pdf)
             doc_ids = local + np.arange(n, dtype=np.int64)
             local += n
@@ -397,7 +425,16 @@ def _make_tokenizer(shard_base: int = 0):
 
 def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     t0 = time.time()
-    if cfg.id_partitions:
+    if cfg.presorted_source:
+        # input partitions already sorted by (conv_id, turn_idx) and
+        # range-disjoint (e.g. an Iceberg table with that sort order):
+        # shard == scan partition, ZERO shuffle — the build's only
+        # exchange disappears. A split file is harmless (each slice is
+        # still sorted and disjoint); within-partition order is verified
+        # row-by-row inside the tokenizer. doc_ids then follow scan
+        # partition order (file listing order), not global sort order.
+        p = df.rdd.getNumPartitions()
+    elif cfg.id_partitions:
         p = cfg.id_partitions
     else:
         # count is metadata-cheap on parquet/iceberg sources; shard_docs is
@@ -415,15 +452,21 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
         if dbg:
             print(f"[ids] {msg}: {time.time() - t:.1f}s", file=_sys.stderr)
 
-    parted = (
-        df.repartitionByRange(p, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .withColumn("pid", F.spark_partition_id())
-    )
+    if cfg.presorted_source:
+        parted = df.withColumn("pid", F.spark_partition_id())
+    else:
+        parted = (
+            df.repartitionByRange(p, "conv_id", "turn_idx")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .withColumn("pid", F.spark_partition_id())
+        )
     # ONE pass over the corpus: shuffle -> tokenize -> write. Global ids
     # are derived afterwards from per-shard counts (metadata-cheap scan
     # of the written files), not from a pre-count of a cached shuffle.
-    tok = parted.mapInPandas(_make_tokenizer(), schema=TOK_SCHEMA)
+    tok = parted.mapInPandas(
+        _make_tokenizer(verify_sorted=cfg.presorted_source),
+        schema=TOK_SCHEMA,
+    )
     t1 = time.time()
     # static overwrite: this is always a fresh dir (build_index removes
     # stale data), and the dynamic-overwrite commit's per-partition

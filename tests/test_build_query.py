@@ -199,6 +199,68 @@ def test_driver_fast_path_identity(spark, built_index, oracle_index):
         assert tiny.last_path == "distributed"
 
 
+def test_presorted_source_no_shuffle_doc_parity(spark, tmp_path):
+    """presorted_source=True skips the ids-stage range shuffle (shard ==
+    scan partition). Fed the SAME range-partitioned files the shuffle
+    would produce, the no-shuffle build must be byte-identical — and an
+    unsorted input must fail loudly, not mis-assign ids."""
+    from indexer_spark.build import BuildConfig, META_TERM, build_index
+    from indexer_spark.synth import gen_transcripts
+
+    pdf = gen_transcripts(1200, seed=21)
+    src = str(tmp_path / "sorted_src")
+    (
+        spark.createDataFrame(pdf)
+        .repartitionByRange(4, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.parquet(src)
+    )
+    # one scan partition per file (no small-file packing). NOTE: Spark
+    # assigns files to scan partitions by SIZE, not name, so shard
+    # NUMBERING differs from the shuffle build — the invariant is
+    # doc-level parity (same docs, same postings, same scores), which is
+    # what a user observes; raw ids are an internal detail in this mode.
+    prior = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 20))
+    try:
+        sdf = spark.read.parquet(src)
+        d1, d2 = str(tmp_path / "i_shuffle"), str(tmp_path / "i_presorted")
+        build_index(spark, sdf, d1, BuildConfig(block_size=32, id_partitions=4))
+        build_index(
+            spark, sdf, d2, BuildConfig(block_size=32, presorted_source=True)
+        )
+        s1, s2 = read_stats(d1), read_stats(d2)
+        assert s1["n_docs"] == s2["n_docs"] == 1200
+        assert s1["avgdl"] == s2["avgdl"]
+        r1 = IndexReader(spark, d1)
+        r2 = IndexReader(spark, d2)
+        vocab = sorted({w for t in pdf["text"].head(50) for w in t.split()})
+        queries = [" ".join(vocab[:3]), vocab[len(vocab) // 2], vocab[-1]]
+        for q in queries:
+            a = {
+                (h["conv_id"], h["turn_idx"], round(h["score"], 9))
+                for h in r1.resolve_local(r1.search(q, 20))
+            }
+            b = {
+                (h["conv_id"], h["turn_idx"], round(h["score"], 9))
+                for h in r2.resolve_local(r2.search(q, 20))
+            }
+            assert a == b, q
+
+        # unsorted input under the presorted contract fails loudly
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import PythonException
+
+        bad = spark.createDataFrame(pdf).repartition(4)  # hash: unsorted
+        with pytest.raises((PythonException, Py4JJavaError), match="not sorted"):
+            build_index(
+                spark, bad, str(tmp_path / "i_bad"),
+                BuildConfig(block_size=32, presorted_source=True),
+            )
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prior)
+
+
 def test_warm_hot_terms_identity(spark, built_index, oracle_index):
     """Pre-decoding the hottest posting lists (query-service startup
     warm) must change latency only — results stay rank- and
