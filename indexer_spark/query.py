@@ -206,28 +206,40 @@ def _make_exhaustive_scorer(
         has_shard = "shard" in pdf.columns
         id_chunks, sc_chunks = [], []
         for row in pdf.itertuples():
-            key = None
-            if cache is not None:
-                key = (
-                    epoch, int(row.shard) if has_shard else -1, row.term,
-                    -1, int(row.df), len(row.docs),
-                )
-                cached = cache.get(key)
-            else:
-                cached = None
+            shard_id = int(row.shard) if has_shard else -1
+            base_key = (
+                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                if cache is not None else None
+            )
+            w = weights[row.term]
+            if kind == "bm25" and base_key is not None:
+                # the tf-normalization part is QUERY-INDEPENDENT (idf is
+                # the only per-query factor), so cache (doc_ids, normpart)
+                # once per (term, shard, epoch) — a repeat hot-term query
+                # pays only the weighted accumulate, not decode or the
+                # BM25 arithmetic. avgdl/k1/b changes bump the epoch.
+                hit = cache.get(base_key + (-2,))
+                if hit is not None:
+                    d, normpart = hit
+                    id_chunks.append(d)
+                    sc_chunks.append(w * normpart)
+                    continue
+            cached = cache.get(base_key + (-1,)) if base_key else None
             if cached is None:
                 cached = decode_postings(
                     row.docs, row.tfs, row.dls, int(row.df)
                 )
-                if key is not None:
-                    cache.put(key, cached)
+                if base_key is not None:
+                    cache.put(base_key + (-1,), cached)
             d, t, dl = cached
-            w = weights[row.term]
             tf = t.astype(np.float64)
             if kind == "bm25":
-                contrib = w * tf * (k1 + 1.0) / (
+                normpart = tf * (k1 + 1.0) / (
                     tf + k1 * (1.0 - b + b * dl / avgdl)
                 )
+                if base_key is not None:
+                    cache.put(base_key + (-2,), (d, normpart))
+                contrib = w * normpart
             else:
                 contrib = w * tf
             id_chunks.append(d)
@@ -367,8 +379,12 @@ def _make_pruned_scorer(
                 if s_idx == e_idx:
                     continue
                 tfv = tf[s_idx:e_idx].astype(np.float64)
-                contrib = t["w"] * tfv * (k1 + 1.0) / (
-                    tfv + k1 * (1.0 - b + b * dl[s_idx:e_idx] / avgdl)
+                # same association as the exhaustive scorer's cached
+                # normpart (w * (tf-normalization)) so pruned stays
+                # bit-identical to exhaustive
+                contrib = t["w"] * (
+                    tfv * (k1 + 1.0)
+                    / (tfv + k1 * (1.0 - b + b * dl[s_idx:e_idx] / avgdl))
                 )
                 id_chunks.append(d[s_idx:e_idx])
                 sc_chunks.append(contrib)
@@ -428,6 +444,10 @@ class IndexReader:
         # would dominate the fast path, so build each handle once
         self._ts_ds = None
         self._post_ds = None
+        # term -> [(shard, df, payload_len)] rows known to be decoded in
+        # _DECODED_CACHE: lets repeat/warmed queries score WITHOUT the
+        # per-query parquet payload read (see _fast_from_cache)
+        self._cached_terms: dict[str, list[tuple[int, int, int]]] = {}
         # shuffle-free scoring requires whole-file scan tasks: pin the
         # split size above the largest committed postings file (recorded
         # at build time). If the conf cannot be raised, queries fall
@@ -543,15 +563,21 @@ class IndexReader:
         return {t: self._df_cache[t] for t in terms}
 
     def warm_hot_terms(self, n_terms: int = 16,
-                       budget_bytes: int | None = None) -> int:
+                       budget_bytes: int = 768 << 20) -> int:
         """Pre-decode the largest posting lists into the decoded-postings
         cache (driver side), ranked by term_stats ``nbytes``. A query
         service calls this at startup so the FIRST query for a hot term
-        doesn't pay its decode — repeated queries hit the cache anyway.
-        Returns how many terms were warmed. Budget defaults to half the
-        cache so warming can't evict everything else. At 10^12 docs a
-        serving node warms from the same term_stats ranking; executors
-        warm organically via Python-worker reuse."""
+        doesn't pay its decode; together with _fast_from_cache, repeat
+        queries over warmed terms then never touch parquet at all.
+
+        Only the compact BM25 normpart form is stored (16 bytes/posting
+        vs 24 raw — and decoded lists run ~13x their compressed size, so
+        the budget counts ACTUAL stored bytes; budgeting by compressed
+        nbytes silently thrashes the LRU). The driver-process cache cap
+        is raised to hold the warmed set plus query headroom; worker
+        processes have their own module instance and keep the default
+        cap. At 10^12 docs a serving node warms from the same term_stats
+        ranking."""
         import pyarrow.dataset as pads
 
         if self._ts_ds is None:
@@ -573,36 +599,75 @@ class IndexReader:
         )[:n_terms]
         if not rows:
             return 0
-        budget = (budget_bytes if budget_bytes is not None
-                  else _DECODED_CACHE.max_bytes // 2)
-        picked = []
-        spent = 0
-        for t, df, nb in rows:
-            nb = int(nb or 0)
-            if spent + nb > budget and picked:
-                break
-            picked.append(t)
-            spent += nb
-            self._df_cache[t] = int(df)
-            self._nbytes_cache[t] = nb
+        _DECODED_CACHE.max_bytes = max(
+            _DECODED_CACHE.max_bytes, budget_bytes + (256 << 20)
+        )
         if self._post_ds is None:
             self._post_ds = pads.dataset(
                 _postings_path(self.index_dir), format="parquet",
                 partitioning="hive",
             )
-        ptbl = self._post_ds.to_table(
-            columns=["shard", "term", "df", "docs", "tfs", "dls"],
-            filter=pads.field("term").isin(picked),
-        )
-        for sh, t, df, docs, tfs, dls in zip(
-            ptbl.column("shard").to_pylist(), ptbl.column("term").to_pylist(),
-            ptbl.column("df").to_pylist(), ptbl.column("docs").to_pylist(),
-            ptbl.column("tfs").to_pylist(), ptbl.column("dls").to_pylist(),
-        ):
-            key = (self._epoch, int(sh), t, -1, int(df), len(docs))
-            if _DECODED_CACHE.get(key) is None:
-                _DECODED_CACHE.put(key, decode_postings(docs, tfs, dls, int(df)))
-        return len(picked)
+        st = self.stats
+        warmed, spent = 0, 0
+        for t, df, nb in rows:
+            if spent >= budget_bytes and warmed:
+                break
+            self._df_cache[t] = int(df)
+            self._nbytes_cache[t] = int(nb or 0)
+            ptbl = self._post_ds.to_table(
+                columns=["shard", "term", "df", "docs", "tfs", "dls"],
+                filter=pads.field("term") == t,
+            )
+            for sh, df_r, docs, tfs, dls in zip(
+                ptbl.column("shard").to_pylist(),
+                ptbl.column("df").to_pylist(),
+                ptbl.column("docs").to_pylist(),
+                ptbl.column("tfs").to_pylist(),
+                ptbl.column("dls").to_pylist(),
+            ):
+                base = (self._epoch, int(sh), t, int(df_r), len(docs))
+                if _DECODED_CACHE.get(base + (-2,)) is None:
+                    d, tfv, dl = decode_postings(docs, tfs, dls, int(df_r))
+                    tfd = tfv.astype(np.float64)
+                    normpart = tfd * (st["k1"] + 1.0) / (
+                        tfd + st["k1"]
+                        * (1.0 - st["b"] + st["b"] * dl / st["avgdl"])
+                    )
+                    _DECODED_CACHE.put(base + (-2,), (d, normpart))
+                    spent += d.nbytes + normpart.nbytes
+                self._cached_terms.setdefault(t, set()).add(
+                    (int(sh), int(df_r), len(docs))
+                )
+            warmed += 1
+        return warmed
+
+    def _fast_from_cache(self, present: list[str], idf: dict[str, float],
+                         k: int) -> list | None:
+        """Score a BM25 query entirely from the decoded-postings cache —
+        no parquet read at all. Engages when every matched term's
+        (shard, df, payload_len) rows are recorded as cached (by
+        warm_hot_terms or a previous fast query); returns None — falling
+        back to the reading paths — if any entry was LRU-evicted. Same
+        chunks, same arithmetic, same aggregation as the reading fast
+        path, so results are identical."""
+        if self.fast_path_bytes <= 0 or self._cached_postings is not None:
+            return None
+        if any(t not in self._cached_terms for t in present):
+            return None
+        id_chunks, sc_chunks = [], []
+        for t in sorted(present):  # sorted-term order pins float order
+            w = idf[t]
+            for sh, df, ln in sorted(self._cached_terms[t]):
+                hit = _DECODED_CACHE.get((self._epoch, sh, t, df, ln, -2))
+                if hit is None:
+                    return None  # evicted: take the read path
+                d, normpart = hit
+                id_chunks.append(d)
+                sc_chunks.append(w * normpart)
+        uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        uids, sums = _topk_merge(uids, sums, k)
+        self.last_path = "fast"
+        return [(int(d), float(s)) for d, s in zip(uids, sums)]
 
     def _fast_scored(self, present: list[str], scorer) -> list | None:
         """Driver fast path: when the matched postings payload is small
@@ -634,6 +699,16 @@ class IndexReader:
         )
         pdf = tbl.to_pandas()
         out = scorer(pdf)
+        # record what the scorer just cached so repeat queries can skip
+        # the parquet read entirely (_fast_from_cache); only rows whose
+        # normpart actually landed in the cache are recorded
+        for row in pdf.itertuples():
+            base = (self._epoch, int(row.shard), row.term, int(row.df),
+                    len(row.docs))
+            if _DECODED_CACHE.get(base + (-2,)) is not None:
+                self._cached_terms.setdefault(row.term, set()).add(
+                    (int(row.shard), int(row.df), len(row.docs))
+                )
         self.last_path = "fast"
         return [
             (int(d), float(s))
@@ -671,6 +746,11 @@ class IndexReader:
             return []
         st = self.stats
         idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in present}
+        # fastest path first: fully-cached terms score without touching
+        # parquet at all (identical arithmetic)
+        hit = self._fast_from_cache(present, idf, k)
+        if hit is not None:
+            return hit
         # the fast path always scores exhaustively: with the O(n) dense
         # aggregation + argpartition top-k, one vectorized pass beats the
         # segment-at-a-time pruning loop run serially over every shard
