@@ -405,6 +405,16 @@ def _q_quality_by_lang(spark, sf_dir):
     )
 
 
+def _q_token_counts(spark, sf_dir):
+    """Token counting two ways (whitespace + reference-lexer-class regex
+    pieces), fully JVM-side — the BPE-ish counting proxy from
+    extras.textstats, mirrored exactly in DuckDB regexp semantics."""
+    _ship_package(spark)
+    from indexer_spark.extras.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
 def _q_tokenize_udf(spark, sf_dir):
     """The real reference-parity tokenizer (lex+stem+stop) as an Arrow
     pandas UDF — not SQL-expressible (rows-only check; full parity is
@@ -500,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "neardup_verified": _q_neardup_verified,
         "quality_by_lang": _q_quality_by_lang,
+        "token_counts": _q_token_counts,
         "tokenize_udf": _q_tokenize_udf,
         "simhash": _q_simhash,
         "quality_scores": _q_quality,
@@ -668,6 +679,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lang l JOIN qual q USING (doc_id)
             GROUP BY l.lang_pred
         """,
+        "token_counts": r'''
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> ''))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[0-9]+|[a-z][a-z0-9]*|[^\sa-z0-9]'))::BIGINT
+                     AS n_lex_tokens
+            FROM documents
+        ''',
         "simhash": _simhash_oracle_sql(),
         "quality_scores": _quality_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),

@@ -77,6 +77,40 @@ def test_serve_stats_and_404(served):
         assert e.code == 404
 
 
+def test_serve_concurrent_requests_consistent(served):
+    """ThreadingHTTPServer shares one reader (and the decoded-postings
+    LRU) across request threads — 16 parallel mixed queries must all
+    succeed and repeat-queries must return identical hit lists."""
+    import concurrent.futures as cf
+
+    _, port, pdf, _ = served
+    words = [pdf["text"].iloc[i].split()[0] for i in range(8)]
+
+    def one(i):
+        q = words[i % len(words)]
+        status, body = _get(port, f"/search?q={q}&k=5")
+        assert status == 200
+        return q, json.loads(body)["hits"]
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    by_q = {}
+    for q, hits in results:
+        if q in by_q:
+            assert hits == by_q[q], f"non-deterministic hits for {q!r}"
+        by_q[q] = hits
+    assert all(len(h) >= 1 for h in by_q.values())
+
+
+def test_serve_bad_k_returns_400(served):
+    _, port, _, _ = served
+    try:
+        _get(port, "/search?q=x&k=abc")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_resolve_local_matches_resolve(spark, served):
     srv, _, pdf, d = served
     q = pdf["text"].iloc[1].split()[0]
