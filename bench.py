@@ -113,6 +113,18 @@ def main():
         p95 = lat_sorted[min(len(lat) - 1, int(0.95 * len(lat)))]
         timings["bm25_p50"] = round(p50, 3)
         timings["bm25_p95"] = round(p95, 3)
+        # steady state: second pass over the same set — what a query
+        # service actually serves once its caches are populated
+        slat = []
+        for q in queries:
+            t0 = time.time()
+            reader.search(q, 10, mode="pruned")
+            slat.append(time.time() - t0)
+        slat.sort()
+        timings["bm25_steady_p50"] = round(slat[len(slat) // 2], 3)
+        timings["bm25_steady_p95"] = round(
+            slat[min(len(slat) - 1, int(0.95 * len(slat)))], 3
+        )
         t0 = time.time()
         reader.search_tfidf(queries[2], 10)
         timings["tfidf"] = round(time.time() - t0, 3)
