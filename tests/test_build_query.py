@@ -303,3 +303,82 @@ def test_locate_doc_ids_edges(built_index):
     # round-trip: every located id maps back to itself
     for d, (shard, local) in loc.items():
         assert int(stats["shard_offsets"][str(shard)]) + local == d
+
+
+# -- property + cache-safety insurance for the O(n) scoring rewrite -------
+
+def test_aggregate_and_topk_match_naive_reference():
+    """Property: the dense-range aggregator (and its sparse sort
+    fallback) + argpartition top-k equal a naive dict/full-sort
+    reference bit-for-bit, including exact-zero drops and tie-breaks."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from indexer_spark.query import _aggregate_scores, _topk_merge
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def prop(data):
+        # sometimes huge sparse offsets to force the sort fallback
+        base = data.draw(st.sampled_from([0, 0, 0, 1 << 24]))
+        n_chunks = data.draw(st.integers(1, 5))
+        id_chunks, sc_chunks = [], []
+        for _ in range(n_chunks):
+            ids = sorted(data.draw(st.sets(
+                st.integers(0, 4000), min_size=0, max_size=60)))
+            vals = data.draw(st.lists(
+                st.sampled_from([0.0, 1.0, -1.0, 0.5, 2.25, -0.5]),
+                min_size=len(ids), max_size=len(ids)))
+            id_chunks.append(np.array(ids, dtype=np.int64) + base)
+            sc_chunks.append(np.array(vals, dtype=np.float64))
+        got_ids, got_sums = _aggregate_scores(id_chunks, sc_chunks)
+        want: dict[int, float] = {}
+        for ids, sc in zip(id_chunks, sc_chunks):
+            for d, s in zip(ids.tolist(), sc.tolist()):
+                want[d] = want.get(d, 0.0) + s
+        want = {d: s for d, s in want.items() if s != 0.0}
+        assert dict(zip(got_ids.tolist(), got_sums.tolist())) == want
+
+        k = data.draw(st.integers(1, 15))
+        gi, gs = _topk_merge(got_ids, got_sums, k)
+        order = np.lexsort((got_ids, -got_sums))[:k]
+        assert gi.tolist() == got_ids[order].tolist()
+        assert gs.tolist() == got_sums[order].tolist()
+
+    prop()
+
+
+def test_update_invalidates_decoded_cache(spark, tmp_path):
+    """An in-place update bumps the stats epoch, so a FRESH reader can
+    never be served pre-update decoded postings from the shared cache —
+    even when a prior reader warmed the same terms."""
+    from indexer_spark.build import BuildConfig, build_index, update_index
+    from indexer_spark.synth import gen_transcripts
+
+    pdf = gen_transcripts(400, seed=33)
+    d = str(tmp_path / "cacheidx")
+    build_index(spark, spark.createDataFrame(pdf), d,
+                BuildConfig(block_size=32, id_partitions=2))
+    r1 = IndexReader(spark, d)
+    w = pdf["text"].iloc[0].split()[0]
+    before = r1.search(w, 400)
+    assert before
+    r1.search(w, 400)  # repeat: populates + uses the decoded cache
+    top = r1.resolve_local(before[:1])[0]
+
+    # rewrite the top hit's text so it no longer contains w
+    up = spark.createDataFrame(
+        [(top["conv_id"], top["turn_idx"], "completelydifferent words")],
+        "conv_id string, turn_idx int, text string",
+    )
+    update_index(spark, up, d, BuildConfig(block_size=32))
+
+    r2 = IndexReader(spark, d)
+    assert r2._epoch != r1._epoch  # namespace rotated
+    after = r2.search(w, 400)
+    gone = {h["doc_id"] for h in [dict(doc_id=x[0]) for x in after]}
+    assert top["doc_id"] not in gone
+    # and the updated doc is findable under its new token
+    hit = r2.search("completelydifferent", 5)
+    assert [h[0] for h in hit] == [top["doc_id"]]
