@@ -405,6 +405,20 @@ def _q_quality_by_lang(spark, sf_dir):
     )
 
 
+def _q_shingle_stats(spark, sf_dir):
+    """Character 5-gram shingle stats per doc — the JVM-side shingle
+    generator (sequence + substring) behind n-gram Jaccard dedup,
+    mirrored exactly in DuckDB (range + substr)."""
+    _ship_package(spark)
+    from indexer_spark.extras.dedup import char_shingles
+
+    sh = char_shingles(_docs(spark, sf_dir), n=5)
+    return sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.countDistinct("term").cast("long").alias("n_distinct_shingles"),
+    )
+
+
 def _q_token_counts(spark, sf_dir):
     """Token counting two ways (whitespace + reference-lexer-class regex
     pieces), fully JVM-side — the BPE-ish counting proxy from
@@ -511,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_verified": _q_neardup_verified,
         "quality_by_lang": _q_quality_by_lang,
         "token_counts": _q_token_counts,
+        "shingle_stats": _q_shingle_stats,
         "tokenize_udf": _q_tokenize_udf,
         "simhash": _q_simhash,
         "quality_scores": _q_quality,
@@ -687,6 +702,18 @@ def oracle_sql() -> dict[str, str]:
                        '[0-9]+|[a-z][a-z0-9]*|[^\sa-z0-9]'))::BIGINT
                      AS n_lex_tokens
             FROM documents
+        ''',
+        "shingle_stats": r'''
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                           i -> substr(lower(text), i, 5))) AS term
+                FROM documents
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                   count(DISTINCT term)::BIGINT AS n_distinct_shingles
+            FROM sh WHERE length(term) = 5 GROUP BY doc_id
         ''',
         "simhash": _simhash_oracle_sql(),
         "quality_scores": _quality_oracle_sql(),
