@@ -369,6 +369,65 @@ def test_media_decoder_mixed_kinds(spark):
     assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
 
 
+def test_rvid_codec_roundtrip_and_seek():
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+              for _ in range(9)]
+    payload = multimodal.encode_rvid(frames, fps=24)
+    n, fps, spans = multimodal.rvid_info(payload)
+    assert (n, fps) == (9, 24) and len(spans) == 9
+    for i in (0, 4, 8):  # frame-accurate seek decodes just that frame
+        assert np.array_equal(multimodal.rvid_frame(payload, i), frames[i])
+    feats = multimodal.video_features(payload)
+    assert feats.shape == (multimodal.FEATURE_DIM,)
+    assert np.isfinite(feats).all()
+    # features = mean of the sampled frames' image features
+    picks = sorted({int(i) for i in np.linspace(0, 8, 4)})
+    want = np.mean([multimodal.image_features(frames[i]) for i in picks],
+                   axis=0)
+    assert np.allclose(feats, want)
+    with pytest.raises(ValueError):
+        multimodal.rvid_info(b"AVI ....")
+
+
+def test_video_decoder_real_features(spark):
+    """All THREE modalities through one extract_features pass with
+    media_decoder — video decode is real (RVID container)."""
+    import pandas as pd
+
+    vids = multimodal.synth_video_assets(6, seed=5)
+    imgs = multimodal.synth_image_assets(4, seed=5)
+    auds = multimodal.synth_audio_assets(4, seed=5)
+    imgs["asset_id"] += 100
+    auds["asset_id"] += 200
+    all_ = pd.concat([vids, imgs, auds], ignore_index=True)
+    df = spark.createDataFrame(all_, schema=multimodal.ASSET_SCHEMA)
+    feats = multimodal.extract_features(
+        df, decoder=multimodal.media_decoder).collect()
+    assert len(feats) == 14
+    by_id = {r["asset_id"]: np.array(r["feature"]) for r in feats}
+    for i in (0, 1):
+        want = multimodal.video_features(bytes(vids["payload"].iloc[i]))
+        assert np.allclose(by_id[i], want)
+
+
+def test_frame_sample_features_lazy_decode(spark):
+    vids = multimodal.synth_video_assets(5, seed=8)
+    df = spark.createDataFrame(vids, schema=multimodal.ASSET_SCHEMA)
+    rows = multimodal.frame_sample_features(df, every_n=7).collect()
+    # one row per sampled frame, with that exact frame's features
+    for r in rows[:8]:
+        payload = bytes(vids.loc[vids["asset_id"] == r["asset_id"],
+                                 "payload"].iloc[0])
+        frame = multimodal.rvid_frame(payload, r["frame_idx"])
+        assert np.allclose(np.array(r["feature"]),
+                           multimodal.image_features(frame))
+    want_rows = sum(
+        len(range(0, int(nf), 7)) for nf in vids["n_frames"]
+    )
+    assert len(rows) == want_rows
+
+
 def test_multimodal_features(spark):
     pdf = multimodal.synth_assets(30, seed=9)
     df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
