@@ -311,7 +311,14 @@ def _write_stats(index_dir: str, stats: dict) -> None:
             on_disk = int(json.load(f).get("epoch", 0))
     except Exception:
         on_disk = 0
-    stats["epoch"] = max(on_disk, int(stats.get("epoch", 0))) + 1
+    nxt = max(on_disk, int(stats.get("epoch", 0))) + 1
+    if on_disk == 0 and "epoch" not in stats:
+        # FRESH index (build_index removed the old stats.json): seed the
+        # namespace from the wall clock — a plain counter would restart
+        # at 1 and a rebuilt index could collide with its predecessor's
+        # still-cached entries in long-lived driver/worker processes
+        nxt = time.time_ns()
+    stats["epoch"] = nxt
     n_shards_mapped = len(stats.get("shard_offsets", ()))
     threshold = int(stats.get("shard_map_json_max", SHARD_MAP_JSON_MAX))
     if stats.get("shard_map") == "parquet" or n_shards_mapped > threshold:

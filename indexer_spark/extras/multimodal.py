@@ -387,10 +387,14 @@ def synth_audio_assets(n: int, seed: int = 42) -> pd.DataFrame:
         freq = float(rng.uniform(50, rate / 4))
         t = np.arange(dur) / rate
         x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(dur)
-        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        bits = 8 if i % 5 == 0 else 16
+        # 8-bit WAV carries values in [-128, 127]; scale the synthesis
+        # range accordingly (full-range int16 into encode_wav(bits=8)
+        # would saturate to a square wave at the clip)
+        amp = 127.0 if bits == 8 else 32767.0
+        pcm = np.clip(x * amp, -amp - 1, amp).astype(np.int16)
         if i % 2:  # stereo: second channel attenuated
             pcm = np.stack([pcm, pcm // 2], axis=1)
-        bits = 8 if i % 5 == 0 else 16
         rows.append({
             "asset_id": i, "kind": "audio",
             "payload": encode_wav(pcm, rate, bits=bits),

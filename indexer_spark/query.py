@@ -229,7 +229,10 @@ def _make_exhaustive_scorer(
                 cached = decode_postings(
                     row.docs, row.tfs, row.dls, int(row.df)
                 )
-                if base_key is not None:
+                # bm25 repeats only ever read the compact -2 normpart
+                # entry below — storing the raw tuple too would spend
+                # ~60% of cache capacity on entries nothing reads
+                if base_key is not None and kind != "bm25":
                     cache.put(base_key + (-1,), cached)
             d, t, dl = cached
             tf = t.astype(np.float64)
@@ -523,6 +526,45 @@ class IndexReader:
 
     # -- metadata lookups ------------------------------------------------
 
+    def _ts_table(self, **kw):
+        """term_stats read through the cached dataset handle, with a
+        one-shot handle rebuild if the index was mutated underneath a
+        long-lived reader (dynamic overwrite replaces part files, so a
+        pinned file listing can 404). Readers should still be reopened
+        after mutations for fresh stats; this keeps a serving process
+        from hard-failing in the window."""
+        import pyarrow.dataset as pads
+
+        for attempt in (0, 1):
+            if self._ts_ds is None:
+                self._ts_ds = pads.dataset(
+                    _term_stats_path(self.index_dir), format="parquet"
+                )
+            try:
+                return self._ts_ds.to_table(**kw)
+            except (FileNotFoundError, OSError):
+                self._ts_ds = None
+                if attempt:
+                    raise
+
+    def _post_table(self, **kw):
+        """Postings read through the cached dataset handle; same one-shot
+        rebuild-on-mutation behavior as _ts_table."""
+        import pyarrow.dataset as pads
+
+        for attempt in (0, 1):
+            if self._post_ds is None:
+                self._post_ds = pads.dataset(
+                    _postings_path(self.index_dir), format="parquet",
+                    partitioning="hive",
+                )
+            try:
+                return self._post_ds.to_table(**kw)
+            except (FileNotFoundError, OSError):
+                self._post_ds = None
+                if attempt:
+                    raise
+
     def global_dfs(self, terms: list[str]) -> dict[str, int]:
         """Per-term global df (pass 1 of the reference search,
         tree.rs:395-416). Served driver-side straight from the
@@ -545,7 +587,7 @@ class IndexReader:
                     self._df_cache[t] = 0
                 return {t: self._df_cache[t] for t in terms}
             self._has_nbytes = "nbytes" in ds.schema.names
-            tbl = ds.to_table(filter=pads.field("term").isin(missing))
+            tbl = self._ts_table(filter=pads.field("term").isin(missing))
             tlist = tbl.column("term").to_pylist()
             found = dict(
                 zip(tlist, (int(x) for x in tbl.column("df").to_pylist()))
@@ -588,7 +630,7 @@ class IndexReader:
         if "term" not in ds.schema.names or "nbytes" not in ds.schema.names:
             return 0
         self._has_nbytes = True
-        tbl = ds.to_table(columns=["term", "df", "nbytes"])
+        tbl = self._ts_table(columns=["term", "df", "nbytes"])
         rows = sorted(
             zip(
                 tbl.column("term").to_pylist(),
@@ -614,7 +656,7 @@ class IndexReader:
                 break
             self._df_cache[t] = int(df)
             self._nbytes_cache[t] = int(nb or 0)
-            ptbl = self._post_ds.to_table(
+            ptbl = self._post_table(
                 columns=["shard", "term", "df", "docs", "tfs", "dls"],
                 filter=pads.field("term") == t,
             )
@@ -693,22 +735,23 @@ class IndexReader:
                 partitioning="hive",
             )
         # shard included: the decoded-postings cache keys on it
-        tbl = self._post_ds.to_table(
+        tbl = self._post_table(
             columns=["shard", "term", "df", "docs", "tfs", "dls"],
             filter=pads.field("term").isin(present),
         )
         pdf = tbl.to_pandas()
         out = scorer(pdf)
-        # record what the scorer just cached so repeat queries can skip
-        # the parquet read entirely (_fast_from_cache); only rows whose
-        # normpart actually landed in the cache are recorded
+        # record EVERY matched row so repeat queries can skip the parquet
+        # read (_fast_from_cache). Unconditional on purpose: recording
+        # only cache-resident rows would leave a term's entry PARTIAL
+        # when eviction strikes mid-scorer, and _fast_from_cache would
+        # then silently score from a subset of its shards. With the full
+        # list, any evicted entry is a get() miss -> clean fallback to
+        # the reading path.
         for row in pdf.itertuples():
-            base = (self._epoch, int(row.shard), row.term, int(row.df),
-                    len(row.docs))
-            if _DECODED_CACHE.get(base + (-2,)) is not None:
-                self._cached_terms.setdefault(row.term, set()).add(
-                    (int(row.shard), int(row.df), len(row.docs))
-                )
+            self._cached_terms.setdefault(row.term, set()).add(
+                (int(row.shard), int(row.df), len(row.docs))
+            )
         self.last_path = "fast"
         return [
             (int(d), float(s))

@@ -102,6 +102,10 @@ class QueryServer:
                     # 400 response, not a silently dropped connection
                     try:
                         k = int((qs.get("k") or [server_self.k_default])[0])
+                        if not (1 <= k <= 1000):
+                            # k=-1 would fall through numpy's negative
+                            # indexing and return nearly the whole corpus
+                            raise ValueError(f"k out of range: {k}")
                         mode = (qs.get("mode") or ["pruned"])[0]
                         if mode not in ("pruned", "exhaustive"):
                             raise ValueError(f"bad mode {mode!r}")
