@@ -208,6 +208,41 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_and_topk(spark, sf_dir):
+    # conjunctive (AND) BM25: same scorer as bm25_topk, but only docs
+    # containing ALL query terms survive (engine: search(mode="and"),
+    # query.py _aggregate_scores_and; extension beyond the OR-only
+    # reference, SURVEY §2.7)
+    import math
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dfs = _df_of_terms(spark, sf_dir)
+    idf = {
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in _TERMS
+    }
+    dl = _q_doc_len(spark, sf_dir)
+    total_len = dl.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = float(total_len) / n
+    base = _per_term_tf(spark, sf_dir).join(dl, "doc_id")
+    norm = F.lit(_K1) * (
+        F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    require = F.lit(True)
+    for t in _TERMS:
+        tf = F.col(f"tf_{t}")
+        score = score + F.lit(idf[t]) * tf * F.lit(_K1 + 1.0) / (tf + norm)
+        require = require & (tf > 0)
+    return (
+        base.filter(require)
+        .withColumn("score", F.round(score, 6))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_docid_assign(spark, sf_dir):
     # J2/§2.5: deterministic dense id assignment. DEMO-ONLY global window
     # (single-task sort — fine at sf0.01, matching the DuckDB oracle's
@@ -514,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf": _q_idf,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
+        "bm25_and_topk": _q_bm25_and_topk,
         "docid_assign": _q_docid_assign,
         "dedup_exact": _q_dedup_exact,
         "sim_topk": _q_sim_topk,
@@ -622,6 +658,32 @@ def oracle_sql() -> dict[str, str]:
                   + coalesce((SELECT idf FROM idf WHERE term='hash'),0)
                       * b.tf_hash * 2.2
                       / (b.tf_hash + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))) > 0.0
+            ORDER BY score DESC, b.doc_id ASC LIMIT 10
+        """,
+        "bm25_and_topk": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id,
+                          len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT AS doc_len
+                   FROM documents),
+            avg_dl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+            d AS ({dfs}),
+            idf AS (SELECT term,
+                           ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+                    FROM d),
+            base AS ({tf_pivot})
+            SELECT b.doc_id AS doc_id,
+                   round(  coalesce((SELECT idf FROM idf WHERE term='scan'),0)
+                             * b.tf_scan * 2.2
+                             / (b.tf_scan + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                         + coalesce((SELECT idf FROM idf WHERE term='merge'),0)
+                             * b.tf_merge * 2.2
+                             / (b.tf_merge + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                         + coalesce((SELECT idf FROM idf WHERE term='hash'),0)
+                             * b.tf_hash * 2.2
+                             / (b.tf_hash + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))), 6)
+                     AS score
+            FROM base b JOIN dl ON b.doc_id = dl.doc_id
+            WHERE b.tf_scan > 0 AND b.tf_merge > 0 AND b.tf_hash > 0
             ORDER BY score DESC, b.doc_id ASC LIMIT 10
         """,
         "docid_assign": """

@@ -29,6 +29,50 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _calib_one(_=None) -> float:
+    """One fixed pure-CPU work unit: integer multiply/mod + sum over a
+    64K-element int64 array (cache-resident — 512 KB, so the score
+    measures CPU availability, not the shared memory bus), 400 passes.
+    Returns achieved Gelem/s. Deterministic workload, so the score
+    varies only with the machine/window, not the input."""
+    import numpy as np
+
+    a = np.arange(65_536, dtype=np.int64)
+    t0 = time.perf_counter()
+    acc = 0
+    for _i in range(400):
+        acc += int(((a * 31 + 7) % 997).sum())
+    dt = time.perf_counter() - t0
+    assert acc != 0
+    return round(400 * 65_536 / dt / 1e9, 3)
+
+
+def _calibrate(cpus: int) -> dict:
+    """Noise-calibration score for this VM window (the box has noisy
+    neighbors; identical builds vary 1.5-2x across minutes). Records:
+      single: best-of-3 single-process Gop/s (per-core speed under the
+              window's load),
+      multi:  aggregate Gop/s with `cpus` concurrent processes (exposes
+              shared memory-bus/steal contention a single core misses),
+      ratio:  multi / (single * cpus) — 1.0 = perfectly quiet box.
+    Any reader can normalize a run's build wall by comparing its calib
+    block against another run's."""
+    import multiprocessing as mp
+
+    single = max(_calib_one() for _ in range(3))
+    with mp.get_context("fork").Pool(cpus) as pool:
+        pool.map(abs, range(cpus * 4))  # spin the pool up outside timing
+        t0 = time.perf_counter()
+        pool.map(_calib_one, range(cpus))
+        dt = time.perf_counter() - t0
+    multi = round(cpus * 8 * 4_000_000 / dt / 1e9, 3)
+    return {
+        "single": single,
+        "multi": multi,
+        "ratio": round(multi / (single * cpus), 3),
+    }
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from indexer_spark.build import BuildConfig, build_index
@@ -43,6 +87,11 @@ def main():
     n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(20_000_000 * sf))))
 
     from indexer_spark.synth import transcripts_spark
+
+    # calibrate BEFORE the JVM exists so the score reflects the window's
+    # external load, not our own session
+    calib = _calibrate(cpus)
+    log(f"calibration: {calib}")
 
     timings: dict[str, float] = {}
     spark = get_spark(
@@ -88,6 +137,10 @@ def main():
         log(f"build walls: {build_walls} -> best {timings['build']}s "
             f"({turns_per_sec} turns/s), stats={stats}")
 
+        # SPARK_GRAFT_QUERIES=light (scaling campaigns): build throughput
+        # is the metric there — skip warmup + steady/tfidf sweeps so
+        # campaign wall goes to build samples instead
+        light = os.environ.get("SPARK_GRAFT_QUERIES", "full") == "light"
         reader = IndexReader(spark, index_dir)
         queries = [q for _, q, _ in gen_queries() if q.strip()]
         # cold query (includes term_stats scan)
@@ -95,9 +148,11 @@ def main():
         reader.search(queries[0], 10, mode="pruned")
         timings["bm25_cold"] = round(time.time() - t0, 3)
         # query-service warmup: pre-decode the hottest posting lists
-        # (what server.py does at startup; wall disclosed)
+        # (what server.py does at startup; wall disclosed AND counted in
+        # the headline total below)
         t0 = time.time()
-        reader.warm_hot_terms(16)
+        if not light:
+            reader.warm_hot_terms(16)
         timings["warm_hot"] = round(time.time() - t0, 3)
         # warm set
         lat = []
@@ -113,45 +168,34 @@ def main():
         p95 = lat_sorted[min(len(lat) - 1, int(0.95 * len(lat)))]
         timings["bm25_p50"] = round(p50, 3)
         timings["bm25_p95"] = round(p95, 3)
-        # steady state: second pass over the same set — what a query
-        # service actually serves once its caches are populated
-        slat = []
-        for q in queries:
-            t0 = time.time()
-            reader.search(q, 10, mode="pruned")
-            slat.append(time.time() - t0)
-        slat.sort()
-        timings["bm25_steady_p50"] = round(slat[len(slat) // 2], 3)
-        timings["bm25_steady_p95"] = round(
-            slat[min(len(slat) - 1, int(0.95 * len(slat)))], 3
-        )
-        t0 = time.time()
-        reader.search_tfidf(queries[2], 10)
-        timings["tfidf"] = round(time.time() - t0, 3)
-
-        # warm query-service mode: postings cached in executor memory.
-        # SPARK_GRAFT_QUERIES=light skips it (scaling campaigns measure
-        # build throughput; this section is pure extra wall there).
-        if os.environ.get("SPARK_GRAFT_QUERIES", "full") != "light":
-            cached_reader = IndexReader(spark, index_dir, cache_postings=True)
-            cached_reader.search(queries[0], 10)  # populate the cache
-            clat = []
+        if not light:
+            # steady state: second pass over the same set — what a query
+            # service actually serves once its caches are populated
+            slat = []
             for q in queries:
                 t0 = time.time()
-                cached_reader.search(q, 10, mode="pruned")
-                clat.append(time.time() - t0)
-            clat.sort()
-            timings["bm25_cached_p50"] = round(clat[len(clat) // 2], 3)
-            timings["bm25_cached_p95"] = round(
-                clat[min(len(clat) - 1, int(0.95 * len(clat)))], 3
+                reader.search(q, 10, mode="pruned")
+                slat.append(time.time() - t0)
+            slat.sort()
+            timings["bm25_steady_p50"] = round(slat[len(slat) // 2], 3)
+            timings["bm25_steady_p95"] = round(
+                slat[min(len(slat) - 1, int(0.95 * len(slat)))], 3
             )
-            log(f"queries: p50={timings['bm25_p50']}s "
-                f"p95={timings['bm25_p95']}s "
-                f"cached p50={timings['bm25_cached_p50']}s")
+            t0 = time.time()
+            reader.search_tfidf(queries[2], 10)
+            timings["tfidf"] = round(time.time() - t0, 3)
+        log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s")
 
-        total = round(timings["build"] + timings["bm25_warm_total"], 3)
+        # headline metric DEFINITION (changed round 4, documented in
+        # BENCH/BASELINE.md): build + warm_hot + warm query set — the
+        # warmup is real startup work a query service pays, so it counts
+        # toward the total it subsidizes (round <=3 totals excluded it).
+        total = round(
+            timings["build"] + timings["warm_hot"]
+            + timings["bm25_warm_total"], 3
+        )
         out = {
-            "metric": "index_build_plus_bm25_queryset_wall",
+            "metric": "index_build_plus_warmup_plus_bm25_queryset_wall",
             "value": total,
             "unit": "sec",
             "queries": timings,
@@ -164,6 +208,9 @@ def main():
             # full disclosure for the noisy-neighbor VM: every build wall
             # measured (build/turns_per_sec above use the best one)
             "build_walls": build_walls,
+            # fixed pure-CPU score for this window (see _calibrate): lets
+            # any reader normalize a run landing in a noisy window
+            "calib_gops": calib,
         }
         print(json.dumps(out), flush=True)
     finally:

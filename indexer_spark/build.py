@@ -200,7 +200,7 @@ def _tok_shard_stats_local(index_dir: str, shards: list[int]) -> list[dict]:
     return out
 
 
-def _tok_conv_bounds_local(index_dir: str) -> dict[int, tuple[str, str]] | None:
+def _tok_conv_bounds_local(index_dir: str) -> dict[int, tuple[bytes, bytes]] | None:
     """Per-shard (min, max) conv_id from tok parquet footer statistics —
     the (conv_id -> shard) lookup update_index uses to prune its
     owner-discovery scan: shards are (conv_id, turn_idx) ranges by
@@ -208,11 +208,19 @@ def _tok_conv_bounds_local(index_dir: str) -> dict[int, tuple[str, str]] | None:
     candidate owners with zero data reads. Returns None when any file
     lacks usable statistics (callers fall back to the full scan). At
     cluster scale these bounds live in the table manifest (e.g. Iceberg's
-    per-file column bounds) instead of a driver loop."""
+    per-file column bounds) instead of a driver loop.
+
+    Bounds are returned as RAW UTF-8 BYTES and callers must compare
+    against encoded conv_ids: decoding with errors='replace' maps broken
+    sequences to U+FFFD which sorts ABOVE nearly every real character, so
+    a decoded bound could exceed the true min and the prune would
+    silently skip the owning shard. Byte order == UTF-8 code-point order,
+    so comparing raw bytes is exact for any well-formed value; a value
+    the writer stored as a str is re-encoded here for the same reason."""
     import pyarrow.parquet as pq
 
     root = _tok_path(index_dir)
-    bounds: dict[int, tuple[str, str]] = {}
+    bounds: dict[int, tuple[bytes, bytes]] = {}
     for s in _list_shards(root):
         lo = hi = None
         for fp in _shard_files(root, s):
@@ -224,10 +232,10 @@ def _tok_conv_bounds_local(index_dir: str) -> dict[int, tuple[str, str]] | None:
                 if st is None or not st.has_min_max:
                     return None
                 mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn = mn.decode("utf-8", "replace")
-                if isinstance(mx, bytes):
-                    mx = mx.decode("utf-8", "replace")
+                if isinstance(mn, str):
+                    mn = mn.encode("utf-8")
+                if isinstance(mx, str):
+                    mx = mx.encode("utf-8")
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
         if lo is not None:
@@ -1192,8 +1200,10 @@ def update_index(
     if int(stats["n_shards"]) <= DRIVER_META_MAX_SHARDS:
         bounds = _tok_conv_bounds_local(index_dir)
         if bounds is not None:
+            # raw-bytes comparison against the footer byte bounds (see
+            # _tok_conv_bounds_local: decoded bounds are unsound)
             convs = [
-                r["conv_id"]
+                r["conv_id"].encode("utf-8")
                 for r in keys.select("conv_id").distinct().collect()
             ]
             cand = sorted(

@@ -142,7 +142,7 @@ def main(argv=None):
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["pruned", "exhaustive"], default="pruned")
+    q.add_argument("--mode", choices=["pruned", "exhaustive", "and"], default="pruned")
     q.add_argument("--tfidf", action="store_true")
     q.add_argument("--output", default=None,
                    help="also write the JSON result to this file")

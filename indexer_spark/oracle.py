@@ -94,3 +94,32 @@ class OracleIndex:
                 scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf * (BM25_K1 + 1.0) / norm
         results = sorted(scores.items(), key=lambda ds: (-ds[1], ds[0]))
         return results[:k] if k is not None else results
+
+    def search_bm25_and(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
+        """Conjunctive BM25: only docs containing ALL distinct query
+        terms survive; a term absent from the corpus empties the result.
+        Scoring of survivors is identical to search_bm25 (same sorted
+        term order -> same float summation order). Extension beyond the
+        OR-only reference (SURVEY §2.7)."""
+        q_terms = sorted(set(tokenize(query)))
+        if not q_terms:
+            return []
+        n, avgdl = self.n_docs, self.avgdl
+        scores: dict[int, float] = {}
+        hits: dict[int, int] = {}
+        for term in q_terms:
+            df = self.df(term)
+            if df == 0:
+                return []
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for doc_id, tf in self.postings[term]:
+                dl = self.doc_len[doc_id]
+                norm = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf * (BM25_K1 + 1.0) / norm
+                hits[doc_id] = hits.get(doc_id, 0) + 1
+        need = len(q_terms)
+        results = sorted(
+            ((d, s) for d, s in scores.items() if hits[d] == need),
+            key=lambda ds: (-ds[1], ds[0]),
+        )
+        return results[:k] if k is not None else results

@@ -183,13 +183,58 @@ def _aggregate_scores(id_chunks, score_chunks):
     return nz + lo, acc[nz]
 
 
+def _aggregate_scores_and(id_chunks, score_chunks, n_required: int):
+    """Conjunctive (AND) aggregation: per-doc sums KEEPING only docs that
+    appear in exactly ``n_required`` chunks. Chunks are per (term, shard)
+    and shards partition doc_ids, so a doc appears in at most one chunk
+    per term — chunk-membership count == distinct-query-term count.
+    Same dense range accumulator as _aggregate_scores (same chunk order,
+    so float sums are bit-identical to the OR path for surviving docs),
+    plus an int32 membership counter; the sparse fallback counts via
+    reduceat group sizes."""
+    nonempty = [c for c in id_chunks if c.size]
+    if len(nonempty) < n_required:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.float64)
+    lo = min(int(c[0]) for c in nonempty)
+    hi = max(int(c[-1]) for c in nonempty)
+    span = hi - lo + 1
+    n_total = sum(c.size for c in nonempty)
+    if span > max(4 * n_total, 1 << 20):
+        ids = np.concatenate(id_chunks)
+        sc = np.concatenate(score_chunks)
+        order = np.argsort(ids, kind="stable")
+        ids, sc = ids[order], sc[order]
+        firsts = np.empty(ids.size, dtype=bool)
+        firsts[0] = True
+        np.not_equal(ids[1:], ids[:-1], out=firsts[1:])
+        starts = np.nonzero(firsts)[0]
+        sums = np.add.reduceat(sc, starts)
+        sizes = np.diff(np.append(starts, ids.size))
+        keep = sizes == n_required
+        return ids[starts][keep], sums[keep]
+    acc = np.zeros(span, dtype=np.float64)
+    cnt = np.zeros(span, dtype=np.int32)
+    for d, s in zip(id_chunks, score_chunks):
+        if d.size:
+            acc[d - lo] += s
+            cnt[d - lo] += 1
+    hit = np.nonzero(cnt == n_required)[0]
+    return hit + lo, acc[hit]
+
+
 def _make_exhaustive_scorer(
     weights: dict[str, float], k1, b, avgdl, k, kind, epoch: tuple | None = None,
+    require_all: int = 0,
 ):
     """kind='bm25': contribution = w * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
     kind='tfidf': contribution = w * tf (reference scorer, tree.rs:445-449).
     ``epoch``: when set, full decoded lists go through the worker-side
-    _DECODED_CACHE so repeated hot-term queries skip the varint decode."""
+    _DECODED_CACHE so repeated hot-term queries skip the varint decode.
+    ``require_all``: >0 switches to conjunctive (AND) semantics — only
+    docs containing all ``require_all`` distinct query terms survive
+    (an extension beyond the OR-only reference, SURVEY §2.7; scoring of
+    survivors is unchanged BM25/TF-IDF)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -247,7 +292,12 @@ def _make_exhaustive_scorer(
                 contrib = w * tf
             id_chunks.append(d)
             sc_chunks.append(contrib)
-        uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        if require_all:
+            uids, sums = _aggregate_scores_and(
+                id_chunks, sc_chunks, require_all
+            )
+        else:
+            uids, sums = _aggregate_scores(id_chunks, sc_chunks)
         if kind == "tfidf":
             keep = sums != 0.0  # P8: drop exact-zero scores (tree.rs:456-459)
             uids, sums = uids[keep], sums[keep]
@@ -409,16 +459,8 @@ class IndexReader:
     tree.rs:251-265 — but stateless: all state is in tables + stats)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache_postings: bool = False,
                  fast_path_bytes: int = 32 << 20):
-        """``cache_postings`` persists the postings table in executor
-        memory (Spark's columnar cache, LRU-evicted) for a warm query
-        service: repeated queries skip parquet IO at the cost of losing
-        scan-time pushdown (the in-memory filter is still columnar). At
-        10^12 scale you cache the hot subset the same way — eviction
-        keeps it bounded.
-
-        ``fast_path_bytes``: when the matched terms' total compressed
+        """``fast_path_bytes``: when the matched terms' total compressed
         postings payload (term_stats ``nbytes``) is below this, search()
         skips the Spark job entirely — pyarrow reads the matched rows
         (term-predicate row-group pruning) and the SAME numpy exhaustive
@@ -436,7 +478,6 @@ class IndexReader:
         self._df_cache: dict[str, int] = {}
         self._nbytes_cache: dict[str, int] = {}
         self._has_nbytes: bool | None = None
-        self._cached_postings = None
         # decoded-postings cache namespace: (index identity, epoch). The
         # epoch (bumped on every stats commit) invalidates entries across
         # mutations of ONE index; the dir identity separates different
@@ -447,10 +488,19 @@ class IndexReader:
         # would dominate the fast path, so build each handle once
         self._ts_ds = None
         self._post_ds = None
-        # term -> [(shard, df, payload_len)] rows known to be decoded in
+        # term -> {(shard, df, payload_len)} rows known to be decoded in
         # _DECODED_CACHE: lets repeat/warmed queries score WITHOUT the
-        # per-query parquet payload read (see _fast_from_cache)
-        self._cached_terms: dict[str, list[tuple[int, int, int]]] = {}
+        # per-query parquet payload read (see _fast_from_cache). Bounded
+        # (insertion-order eviction): the underlying LRU evicts by bytes,
+        # so an unbounded bookkeeping dict on a long-lived server would
+        # accumulate tuples for every distinct query term ever seen.
+        self._cached_terms: dict[str, set[tuple[int, int, int]]] = {}
+        self._cached_terms_max = 65_536
+        # warm_hot_terms raises the process-global decoded-cache cap;
+        # remember the prior so close() can undo it instead of leaving a
+        # sticky mutation on every reader sharing the process
+        self._cache_cap_prior: int | None = None
+        self._cache_cap_raised: int = 0
         # shuffle-free scoring requires whole-file scan tasks: pin the
         # split size above the largest committed postings file (recorded
         # at build time). If the conf cannot be raised, queries fall
@@ -476,12 +526,6 @@ class IndexReader:
                 self._whole_file_tasks = True
             except Exception:
                 pass
-        if cache_postings:
-            from .build import POSTINGS_SCHEMA
-
-            self._cached_postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
-                _postings_path(index_dir)
-            ).persist()
         # shard -> upper-bound rescale for appended indexes whose avgdl
         # drifted upward since a shard's block maxima were computed
         avgdl_now = self.stats["avgdl"]
@@ -503,19 +547,22 @@ class IndexReader:
     # -- lifecycle ---------------------------------------------------------
 
     def close(self) -> None:
-        """Restore any session confs this reader raised (and unpersist the
-        postings cache). Call when done querying — pending DataFrames from
-        search_df must be collected first, since the whole-file-task
-        invariant their plan relies on goes away with the conf."""
+        """Restore any session confs this reader raised and undo this
+        reader's share of the decoded-cache budget raise. Call when done
+        querying — pending DataFrames from search_df must be collected
+        first, since the whole-file-task invariant their plan relies on
+        goes away with the conf."""
         for key, val in self._conf_priors.items():
             try:
                 self.spark.conf.set(key, val)
             except Exception:
                 pass
         self._conf_priors = {}
-        if self._cached_postings is not None:
-            self._cached_postings.unpersist()
-            self._cached_postings = None
+        if self._cache_cap_prior is not None:
+            # restore only if nobody else raised it higher meanwhile
+            if _DECODED_CACHE.max_bytes == self._cache_cap_raised:
+                _DECODED_CACHE.max_bytes = self._cache_cap_prior
+            self._cache_cap_prior = None
 
     def __enter__(self):
         return self
@@ -526,13 +573,39 @@ class IndexReader:
 
     # -- metadata lookups ------------------------------------------------
 
+    def _refresh_snapshot(self) -> None:
+        """Re-point the reader at the CURRENT on-disk snapshot after a
+        concurrent mutation invalidated a dataset handle. Without this,
+        the rebuilt handle would read NEW postings files while the reader
+        kept pre-mutation stats (n_docs, avgdl, epoch, df cache) — scores
+        matching neither snapshot, and warmed terms still serving fully
+        pre-mutation results from the decoded cache. Refreshing stats +
+        epoch + every derived cache makes the rebuild land on one
+        consistent new snapshot instead of silently mixing two."""
+        self.stats = read_stats(self.index_dir)
+        self._epoch = (self.index_dir, int(self.stats.get("epoch", 0)))
+        self._df_cache.clear()
+        self._nbytes_cache.clear()
+        self._cached_terms.clear()
+        avgdl_now = self.stats["avgdl"]
+        last_ab: dict[int, float] = {}
+        for r in read_manifest(self.index_dir):
+            if r["stage"] == "postings" and "avgdl_build" in r:
+                last_ab[r["shard"]] = r["avgdl_build"]
+        self._ub_scale = {
+            s: avgdl_now / ab
+            for s, ab in last_ab.items()
+            if ab > 0 and avgdl_now > ab
+        }
+
     def _ts_table(self, **kw):
         """term_stats read through the cached dataset handle, with a
         one-shot handle rebuild if the index was mutated underneath a
         long-lived reader (dynamic overwrite replaces part files, so a
-        pinned file listing can 404). Readers should still be reopened
-        after mutations for fresh stats; this keeps a serving process
-        from hard-failing in the window."""
+        pinned file listing can 404). The rebuild re-reads stats.json and
+        refreshes the epoch/derived caches (_refresh_snapshot) so the
+        reader serves the NEW snapshot consistently instead of scoring
+        new files with old parameters."""
         import pyarrow.dataset as pads
 
         for attempt in (0, 1):
@@ -546,10 +619,11 @@ class IndexReader:
                 self._ts_ds = None
                 if attempt:
                     raise
+                self._refresh_snapshot()
 
     def _post_table(self, **kw):
         """Postings read through the cached dataset handle; same one-shot
-        rebuild-on-mutation behavior as _ts_table."""
+        rebuild-on-mutation + snapshot refresh behavior as _ts_table."""
         import pyarrow.dataset as pads
 
         for attempt in (0, 1):
@@ -564,6 +638,7 @@ class IndexReader:
                 self._post_ds = None
                 if attempt:
                     raise
+                self._refresh_snapshot()
 
     def global_dfs(self, terms: list[str]) -> dict[str, int]:
         """Per-term global df (pass 1 of the reference search,
@@ -604,6 +679,18 @@ class IndexReader:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
+    def _record_cached(self, term: str, row: tuple[int, int, int]) -> None:
+        """Record a decoded (term, shard) row for _fast_from_cache, with
+        insertion-order eviction past the bookkeeping cap (the decoded
+        LRU itself stays byte-bounded regardless — an evicted bookkeeping
+        entry merely sends that term back through the reading path)."""
+        s = self._cached_terms.get(term)
+        if s is None:
+            while len(self._cached_terms) >= self._cached_terms_max:
+                del self._cached_terms[next(iter(self._cached_terms))]
+            s = self._cached_terms[term] = set()
+        s.add(row)
+
     def warm_hot_terms(self, n_terms: int = 16,
                        budget_bytes: int = 768 << 20) -> int:
         """Pre-decode the largest posting lists into the decoded-postings
@@ -620,6 +707,7 @@ class IndexReader:
         processes have their own module instance and keep the default
         cap. At 10^12 docs a serving node warms from the same term_stats
         ranking."""
+        import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
         if self._ts_ds is None:
@@ -631,19 +719,28 @@ class IndexReader:
             return 0
         self._has_nbytes = True
         tbl = self._ts_table(columns=["term", "df", "nbytes"])
-        rows = sorted(
-            zip(
-                tbl.column("term").to_pylist(),
-                tbl.column("df").to_pylist(),
-                tbl.column("nbytes").to_pylist(),
-            ),
-            key=lambda r: -(r[2] or 0),
-        )[:n_terms]
+        # top-N inside pyarrow (no full-vocabulary to_pylist + Python
+        # sort — on a large dictionary that materialization is avoidable
+        # driver memory/CPU)
+        top = tbl.take(
+            pc.select_k_unstable(
+                tbl, k=min(n_terms, tbl.num_rows),
+                sort_keys=[("nbytes", "descending")],
+            )
+        )
+        rows = list(zip(
+            top.column("term").to_pylist(),
+            top.column("df").to_pylist(),
+            top.column("nbytes").to_pylist(),
+        ))
         if not rows:
             return 0
-        _DECODED_CACHE.max_bytes = max(
-            _DECODED_CACHE.max_bytes, budget_bytes + (256 << 20)
-        )
+        want_cap = max(_DECODED_CACHE.max_bytes, budget_bytes + (256 << 20))
+        if want_cap > _DECODED_CACHE.max_bytes:
+            if self._cache_cap_prior is None:
+                self._cache_cap_prior = _DECODED_CACHE.max_bytes
+            _DECODED_CACHE.max_bytes = want_cap
+            self._cache_cap_raised = want_cap
         if self._post_ds is None:
             self._post_ds = pads.dataset(
                 _postings_path(self.index_dir), format="parquet",
@@ -652,7 +749,11 @@ class IndexReader:
         st = self.stats
         warmed, spent = 0, 0
         for t, df, nb in rows:
-            if spent >= budget_bytes and warmed:
+            # projected stored size is exact: the -2 entry is one int64
+            # id + one float64 normpart per posting = 16 bytes x df.
+            # Checked BEFORE decoding so the budget can't overshoot by a
+            # full hot term (the first term always warms).
+            if warmed and spent + 16 * int(df) > budget_bytes:
                 break
             self._df_cache[t] = int(df)
             self._nbytes_cache[t] = int(nb or 0)
@@ -677,14 +778,12 @@ class IndexReader:
                     )
                     _DECODED_CACHE.put(base + (-2,), (d, normpart))
                     spent += d.nbytes + normpart.nbytes
-                self._cached_terms.setdefault(t, set()).add(
-                    (int(sh), int(df_r), len(docs))
-                )
+                self._record_cached(t, (int(sh), int(df_r), len(docs)))
             warmed += 1
         return warmed
 
     def _fast_from_cache(self, present: list[str], idf: dict[str, float],
-                         k: int) -> list | None:
+                         k: int, require_all: int = 0) -> list | None:
         """Score a BM25 query entirely from the decoded-postings cache —
         no parquet read at all. Engages when every matched term's
         (shard, df, payload_len) rows are recorded as cached (by
@@ -692,7 +791,7 @@ class IndexReader:
         back to the reading paths — if any entry was LRU-evicted. Same
         chunks, same arithmetic, same aggregation as the reading fast
         path, so results are identical."""
-        if self.fast_path_bytes <= 0 or self._cached_postings is not None:
+        if self.fast_path_bytes <= 0:
             return None
         if any(t not in self._cached_terms for t in present):
             return None
@@ -706,7 +805,12 @@ class IndexReader:
                 d, normpart = hit
                 id_chunks.append(d)
                 sc_chunks.append(w * normpart)
-        uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        if require_all:
+            uids, sums = _aggregate_scores_and(
+                id_chunks, sc_chunks, require_all
+            )
+        else:
+            uids, sums = _aggregate_scores(id_chunks, sc_chunks)
         uids, sums = _topk_merge(uids, sums, k)
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
@@ -722,8 +826,6 @@ class IndexReader:
         nbytes column), falling back to the distributed plan."""
         if self.fast_path_bytes <= 0 or not self._has_nbytes:
             return None
-        if self._cached_postings is not None:
-            return None  # caller opted into the executor cache path
         total = sum(self._nbytes_cache.get(t, 0) for t in present)
         if total > self.fast_path_bytes:
             return None
@@ -749,8 +851,8 @@ class IndexReader:
         # list, any evicted entry is a get() miss -> clean fallback to
         # the reading path.
         for row in pdf.itertuples():
-            self._cached_terms.setdefault(row.term, set()).add(
-                (int(row.shard), int(row.df), len(row.docs))
+            self._record_cached(
+                row.term, (int(row.shard), int(row.df), len(row.docs))
             )
         self.last_path = "fast"
         return [
@@ -761,12 +863,8 @@ class IndexReader:
     def _postings_for(self, terms: list[str]) -> DataFrame:
         from .build import POSTINGS_SCHEMA
 
-        base = (
-            self._cached_postings
-            if self._cached_postings is not None
-            else self.spark.read.schema(POSTINGS_SCHEMA).parquet(
-                _postings_path(self.index_dir)
-            )
+        base = self.spark.read.schema(POSTINGS_SCHEMA).parquet(
+            _postings_path(self.index_dir)
         )
         return base.filter(F.col("term").isin(terms))
 
@@ -775,11 +873,16 @@ class IndexReader:
     def search(
         self, query: str, k: int = 10, mode: str = "pruned"
     ) -> list[tuple[int, float]]:
-        """BM25 top-k -> [(doc_id, score)]; mode 'pruned' or 'exhaustive'.
+        """BM25 top-k -> [(doc_id, score)].
+
+        mode 'pruned' | 'exhaustive' (disjunctive, reference-parity
+        OR semantics) | 'and' (conjunctive: only docs containing ALL
+        distinct query terms; BM25 scoring of survivors is unchanged —
+        an extension beyond the OR-only reference, SURVEY §2.7).
 
         Small matched postings sets take the driver fast path (see
-        _fast_scored) regardless of mode — its exhaustive scoring is
-        result-identical to both distributed modes."""
+        _fast_scored) regardless of mode — its scoring is
+        result-identical to the distributed modes."""
         terms = sorted(set(tokenize(query)))
         if not terms:
             return []
@@ -787,11 +890,16 @@ class IndexReader:
         present = [t for t in terms if dfs[t] > 0]
         if not present:
             return []
+        require = 0
+        if mode == "and":
+            if len(present) < len(terms):
+                return []  # a term absent from the corpus empties an AND
+            require = len(present)
         st = self.stats
         idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in present}
         # fastest path first: fully-cached terms score without touching
         # parquet at all (identical arithmetic)
-        hit = self._fast_from_cache(present, idf, k)
+        hit = self._fast_from_cache(present, idf, k, require_all=require)
         if hit is not None:
             return hit
         # the fast path always scores exhaustively: with the O(n) dense
@@ -804,7 +912,7 @@ class IndexReader:
             present,
             _make_exhaustive_scorer(
                 idf, st["k1"], st["b"], st["avgdl"], k, "bm25",
-                epoch=self._epoch,
+                epoch=self._epoch, require_all=require,
             ),
         )
         if fast is not None:
@@ -825,7 +933,15 @@ class IndexReader:
         n = self.stats["n_docs"]
         idf = {t: _bm25_idf(n, dfs[t]) for t in present}
         st = self.stats
-        if mode == "pruned":
+        if mode == "and":
+            if len(present) < len(terms):
+                return None
+            scorer = _make_exhaustive_scorer(
+                idf, st["k1"], st["b"], st["avgdl"], k, "bm25",
+                epoch=self._epoch, require_all=len(present),
+            )
+            cols = ["shard", "term", "df", "docs", "tfs", "dls"]
+        elif mode == "pruned":
             scorer = _make_pruned_scorer(
                 idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"],
                 shard_ub_scale=self._ub_scale or None,

@@ -11,6 +11,7 @@ Endpoint parity with the reference:
                           is this engine's document identity
 Extras beyond the reference:
 - ``GET /search?q=...&k=10&mode=pruned&tfidf=0`` -> JSON results
+  (mode: pruned | exhaustive | and — conjunctive, all terms required)
 - ``GET /stats``       -> index stats JSON
 
 Serving path: IndexReader's driver fast path scores small matched sets
@@ -107,7 +108,7 @@ class QueryServer:
                             # indexing and return nearly the whole corpus
                             raise ValueError(f"k out of range: {k}")
                         mode = (qs.get("mode") or ["pruned"])[0]
-                        if mode not in ("pruned", "exhaustive"):
+                        if mode not in ("pruned", "exhaustive", "and"):
                             raise ValueError(f"bad mode {mode!r}")
                         tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
                     except ValueError as e:

@@ -119,6 +119,35 @@ def test_bm25_rank_identity(spark, built_index, oracle_index, mode):
             assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q, gd, gs, ws)
 
 
+def test_bm25_and_rank_identity(spark, built_index, oracle_index):
+    """Conjunctive (AND) mode vs the oracle, on both the distributed and
+    the driver-fast paths, plus the repeat (decoded-cache) pass."""
+    index_dir, _ = built_index
+    dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+    fast = IndexReader(spark, index_dir)
+    queries = [q for _, q, _ in gen_queries() if q.strip()]
+    queries += ["run dog", "the", "zzznotaword run", "fox lazy dog"]
+    try:
+        for q in queries:
+            want = oracle_index.search_bm25_and(q, 10)
+            for reader in (dist, fast):
+                for _rep in range(2):  # second pass hits decoded caches
+                    got = reader.search(q, 10, mode="and")
+                    assert [d for d, _ in got] == [d for d, _ in want], (
+                        f"{q!r}: AND ranks differ\n got {got}\nwant {want}"
+                    )
+                    for (gd, gs), (wd, ws) in zip(got, want):
+                        assert math.isclose(gs, ws, rel_tol=REL_TOL), (q, gd, gs, ws)
+            # AND results are a subset of OR results' doc universe with
+            # every query term present
+            assert all(
+                h in dict(oracle_index.search_bm25(q, None)) for h, _ in want
+            )
+    finally:
+        dist.close()
+        fast.close()
+
+
 def test_tfidf_rank_identity(spark, built_index, oracle_index):
     index_dir, _ = built_index
     reader = IndexReader(spark, index_dir, fast_path_bytes=0)

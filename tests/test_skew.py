@@ -60,12 +60,40 @@ def test_ubiquitous_term_build_balance_and_parity(spark, tmp_path):
             assert math.isclose(g[1], w[1], rel_tol=1e-9)
 
 
-def test_cached_reader_matches_uncached(spark, built_index):
+def test_warm_cache_cap_restored_on_close(spark, built_index):
+    """warm_hot_terms raises the process-global decoded-cache cap;
+    close() must undo the raise so one reader's warm budget isn't a
+    sticky mutation on every later reader in the process."""
+    from indexer_spark.query import _DECODED_CACHE
+
     index_dir, _ = built_index
-    r1 = IndexReader(spark, index_dir)
-    r2 = IndexReader(spark, index_dir, cache_postings=True)
+    prior = _DECODED_CACHE.max_bytes
+    r = IndexReader(spark, index_dir)
     try:
+        warmed = r.warm_hot_terms(4)
+        assert warmed > 0
+        assert _DECODED_CACHE.max_bytes > prior
+        # warmed queries still work, results match a fresh reader
+        r2 = IndexReader(spark, index_dir)
         for q in ["run dog", "don't"]:
-            assert r1.search(q, 10) == r2.search(q, 10)
+            assert r.search(q, 10) == r2.search(q, 10)
+        r2.close()
     finally:
-        r2._cached_postings.unpersist()
+        r.close()
+    assert _DECODED_CACHE.max_bytes == prior
+
+
+def test_cached_terms_bookkeeping_bounded(spark, built_index):
+    """_cached_terms evicts past its cap instead of growing per distinct
+    query term forever on a long-lived server; evicted terms just take
+    the reading path again with identical results."""
+    index_dir, _ = built_index
+    r = IndexReader(spark, index_dir)
+    try:
+        r._cached_terms_max = 2
+        want = r.search("run dog fox lazy", 10)
+        assert len(r._cached_terms) <= 2
+        # repeat query after bookkeeping eviction: identical results
+        assert r.search("run dog fox lazy", 10) == want
+    finally:
+        r.close()
