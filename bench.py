@@ -154,6 +154,13 @@ def main():
         if not light:
             reader.warm_hot_terms(16)
         timings["warm_hot"] = round(time.time() - t0, 3)
+        # distributed-path warmup: pre-decode hot postings blocks into
+        # every Python worker's cache (first hot-term query otherwise
+        # pays the full varint decode; wall disclosed AND counted)
+        t0 = time.time()
+        if not light:
+            reader.warm_worker_caches(8)
+        timings["warm_workers"] = round(time.time() - t0, 3)
         # warm set
         lat = []
         for q in queries:
@@ -192,7 +199,7 @@ def main():
         # toward the total it subsidizes (round <=3 totals excluded it).
         total = round(
             timings["build"] + timings["warm_hot"]
-            + timings["bm25_warm_total"], 3
+            + timings["warm_workers"] + timings["bm25_warm_total"], 3
         )
         out = {
             "metric": "index_build_plus_warmup_plus_bm25_queryset_wall",

@@ -6,11 +6,13 @@ batch shapes, byte budgets) is real and tested. The codec step is real
 for all three modalities via `media_decoder`: images (pure-numpy PPM
 P6/P3 + uncompressed 24/32-bit BMP), audio (pure-numpy RIFF/PCM WAV),
 and video (the RVID container: length-prefixed PPM frames with
-frame-accurate lazy seeks). COMPRESSED video codecs (H.264/VP9/...) are
-the one remaining plug point — no ffmpeg in this container — marked by
-`strict_decoder`'s NotImplementedError; `deterministic_fake_decoder`
-derives features from payload bytes (pure function of content) for
-plumbing tests.
+frame-accurate lazy seeks). COMPRESSED formats (JPEG/PNG, FLAC/OGG,
+H.264/...) decode through import-guarded OPTIONAL public libraries —
+Pillow, soundfile, PyAV — when installed (none are present in this
+container, so those branches are exercised by skip-marked tests);
+without them `strict_decoder` raises its documented
+NotImplementedError. `deterministic_fake_decoder` derives features from
+payload bytes (pure function of content) for plumbing tests.
 
 Scale notes: assets are processed in bounded Arrow batches
 (`spark.sql.execution.arrow.maxRecordsPerBatch` caps rows per batch, and
@@ -50,11 +52,13 @@ def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
 
 def strict_decoder(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
-        f"real {kind} decode requires a codec library not present in this "
-        "container; plug PIL/ffmpeg in here — or use media_decoder, which "
-        "really decodes PPM/BMP images, RIFF/PCM WAV audio and RVID video "
-        "containers with no external library (compressed video codecs are "
-        "the one remaining plug point)"
+        f"real {kind} decode for this payload requires a codec library "
+        "that is not installed: media_decoder handles PPM/BMP images, "
+        "RIFF/PCM WAV audio and RVID video with pure numpy, and decodes "
+        "compressed formats through the import-guarded optional deps "
+        "Pillow (images), soundfile (audio) and PyAV (video) when those "
+        "public libraries are present — install them to make this error "
+        "unreachable"
     )
 
 
@@ -344,16 +348,97 @@ def video_features(payload: bytes, max_samples: int = 4) -> np.ndarray:
     return np.mean(feats, axis=0)
 
 
+def _optional_image_decode(payload: bytes) -> np.ndarray | None:
+    """Compressed-image decode (JPEG/PNG/WebP/...) via Pillow WHEN
+    INSTALLED — import-guarded optional dependency (public library, not
+    present in every deployment). Returns (h, w, 3) uint8, or None when
+    Pillow is absent (callers fall through to strict_decoder)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    return arr.astype(np.uint8)
+
+
+def _optional_audio_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Compressed/other-container audio decode (FLAC/OGG/...) via
+    soundfile WHEN INSTALLED; (samples float64 in [-1, 1] — the same
+    scale decode_wav produces, so features are comparable across
+    containers of the same signal, rate) or None."""
+    try:
+        import soundfile as sf
+    except ImportError:
+        return None
+    import io
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+    return np.asarray(data), int(rate)
+
+
+def _optional_video_features(payload: bytes,
+                             max_samples: int = 4) -> np.ndarray | None:
+    """Compressed-video decode (H.264/VP9/...) via PyAV WHEN INSTALLED:
+    decode only ~max_samples evenly-spaced frames (same sampling policy
+    as the RVID path) and mean their image features; None without av."""
+    try:
+        import av
+    except ImportError:
+        return None
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        n = stream.frames or 0
+        picks = (
+            sorted({int(i) for i in np.linspace(0, n - 1, min(n, max_samples))})
+            if n else list(range(max_samples))
+        )
+        feats, fi = [], 0
+        want = set(picks)
+        for frame in container.decode(stream):
+            if fi in want:
+                feats.append(
+                    image_features(frame.to_ndarray(format="rgb24"))
+                )
+            fi += 1
+            if len(feats) == len(want):
+                break
+    if not feats:
+        return np.zeros(FEATURE_DIM)
+    return np.mean(feats, axis=0)
+
+
 def media_decoder(payload: bytes, kind: str) -> np.ndarray:
     """REAL decoder for image (PPM/BMP), audio (RIFF/PCM WAV) and video
-    (RVID container) kinds, pure numpy end to end; compressed video
-    codecs fall through to the documented plug point."""
+    (RVID container) kinds, pure numpy end to end. Compressed formats
+    (JPEG/PNG, FLAC/OGG, H.264/...) decode through import-guarded
+    OPTIONAL public libraries (Pillow / soundfile / PyAV) when present;
+    without them they fall through to strict_decoder's documented
+    NotImplementedError — strict_decoder is unreachable when the
+    optional dependencies exist."""
     if kind == "image":
-        return image_features(decode_image_bytes(payload))
-    if kind == "audio":
-        return audio_features(*decode_wav(payload))
-    if kind == "video" and payload[:4] == RVID_MAGIC:
-        return video_features(payload)
+        try:
+            return image_features(decode_image_bytes(payload))
+        except ValueError:
+            arr = _optional_image_decode(payload)
+            if arr is not None:
+                return image_features(arr)
+    elif kind == "audio":
+        try:
+            return audio_features(*decode_wav(payload))
+        except ValueError:
+            dec = _optional_audio_decode(payload)
+            if dec is not None:
+                return audio_features(*dec)
+    elif kind == "video":
+        if payload[:4] == RVID_MAGIC:
+            return video_features(payload)
+        feats = _optional_video_features(payload)
+        if feats is not None:
+            return feats
     return strict_decoder(payload, kind)
 
 

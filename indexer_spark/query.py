@@ -454,6 +454,57 @@ def _make_pruned_scorer(
     return fn
 
 
+def _warm_worker_local(index_dir: str, epoch: tuple, terms: list[str],
+                       block_size: int, budget_bytes: int) -> int:
+    """Worker-side body of IndexReader.warm_worker_caches: decode every
+    block of the given terms' postings into THIS process's module-level
+    _DECODED_CACHE, under the same keys the pruned distributed scorer
+    looks up (ckey + block_idx). Runs inside a Spark task — the module
+    instance here is the worker's own, so entries persist across tasks
+    and queries for the worker's lifetime. Hottest-first term order so a
+    budget cut drops the tail, not the head. Returns blocks warmed."""
+    import pyarrow.dataset as pads
+
+    cache = _DECODED_CACHE
+    # worker cap raise is sticky for the worker's lifetime — deliberate:
+    # a warmed worker pool IS the deployment (per-executor cache sizing
+    # is cluster config, not per-reader state like the driver's)
+    if cache.max_bytes < budget_bytes + (64 << 20):
+        cache.max_bytes = budget_bytes + (64 << 20)
+    ds = pads.dataset(
+        _postings_path(index_dir), format="parquet", partitioning="hive"
+    )
+    tbl = ds.to_table(
+        columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"],
+        filter=pads.field("term").isin(terms),
+    )
+    by_term: dict[str, list] = {}
+    for sh, t, df, docs, tfs, dls, blocks in zip(
+        tbl.column("shard").to_pylist(), tbl.column("term").to_pylist(),
+        tbl.column("df").to_pylist(), tbl.column("docs").to_pylist(),
+        tbl.column("tfs").to_pylist(), tbl.column("dls").to_pylist(),
+        tbl.column("blocks").to_pylist(),
+    ):
+        by_term.setdefault(t, []).append((sh, df, docs, tfs, dls, blocks))
+    spent = warmed = 0
+    for t in terms:
+        for sh, df, docs, tfs, dls, blocks in by_term.get(t, ()):
+            ckey = (epoch, int(sh), t, int(df), len(docs))
+            for bi in range(len(blocks)):
+                if spent > budget_bytes:
+                    return warmed
+                key = ckey + (bi,)
+                if cache.get(key) is None:
+                    sl = decode_block_slice(
+                        docs, tfs, dls, blocks, bi, bi + 1, int(df),
+                        block_size=block_size,
+                    )
+                    cache.put(key, sl)
+                    spent += sum(a.nbytes for a in sl)
+                warmed += 1
+    return warmed
+
+
 class IndexReader:
     """Query handle over an index directory (MainIndex analog,
     tree.rs:251-265 — but stateless: all state is in tables + stats)."""
@@ -691,6 +742,76 @@ class IndexReader:
             s = self._cached_terms[term] = set()
         s.add(row)
 
+    def _top_terms(self, n_terms: int) -> list[tuple[str, int, int]]:
+        """Hottest terms by compressed payload size, ranked inside
+        pyarrow (select_k — no full-vocabulary to_pylist + Python sort;
+        on a large dictionary that materialization is avoidable driver
+        memory/CPU). Returns [(term, df, nbytes)] descending."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if self._ts_ds is None:
+            self._ts_ds = pads.dataset(
+                _term_stats_path(self.index_dir), format="parquet"
+            )
+        ds = self._ts_ds
+        if "term" not in ds.schema.names or "nbytes" not in ds.schema.names:
+            return []
+        self._has_nbytes = True
+        tbl = self._ts_table(columns=["term", "df", "nbytes"])
+        top = tbl.take(
+            pc.select_k_unstable(
+                tbl, k=min(n_terms, tbl.num_rows),
+                sort_keys=[("nbytes", "descending")],
+            )
+        )
+        return list(zip(
+            top.column("term").to_pylist(),
+            (int(x) for x in top.column("df").to_pylist()),
+            (int(x or 0) for x in top.column("nbytes").to_pylist()),
+        ))
+
+    def warm_worker_caches(self, n_terms: int = 8,
+                           budget_bytes: int = 192 << 20) -> int:
+        """Pre-decode the hottest terms' postings blocks into EVERY Spark
+        Python worker's decoded cache (the distributed analog of
+        warm_hot_terms, which warms only the driver process): one job
+        with defaultParallelism single-row tasks, each running
+        _warm_worker_local in its worker. After executor (re)start, the
+        FIRST distributed hot-term query otherwise pays the full varint
+        decode per block; warmed workers skip it. On a cluster, each
+        executor's workers read the hot postings from shared storage the
+        same way. Budget is per worker. Returns min blocks warmed by any
+        task (0 => at least one worker warmed nothing)."""
+        rows = self._top_terms(n_terms)
+        if not rows:
+            return 0
+        index_dir, epoch = self.index_dir, self._epoch
+        block_size = int(self.stats["block_size"])
+        terms = [t for t, _, _ in rows]
+        par = self.spark.sparkContext.defaultParallelism
+
+        def task(batches):
+            import pandas as pd_
+
+            # runtime import => the WORKER's module instance (a direct
+            # closure ref would ship the driver's cache by value)
+            from indexer_spark.query import _warm_worker_local
+
+            n = _warm_worker_local(
+                index_dir, epoch, terms, block_size, budget_bytes
+            )
+            for _pdf in batches:
+                yield pd_.DataFrame({"n": [n]})
+
+        out = (
+            self.spark.range(0, par, 1, par)
+            .mapInPandas(task, "n long")
+            .agg(F.min("n").alias("n"))
+            .collect()
+        )
+        return int(out[0]["n"]) if out else 0
+
     def warm_hot_terms(self, n_terms: int = 16,
                        budget_bytes: int = 768 << 20) -> int:
         """Pre-decode the largest posting lists into the decoded-postings
@@ -707,32 +828,9 @@ class IndexReader:
         processes have their own module instance and keep the default
         cap. At 10^12 docs a serving node warms from the same term_stats
         ranking."""
-        import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        if self._ts_ds is None:
-            self._ts_ds = pads.dataset(
-                _term_stats_path(self.index_dir), format="parquet"
-            )
-        ds = self._ts_ds
-        if "term" not in ds.schema.names or "nbytes" not in ds.schema.names:
-            return 0
-        self._has_nbytes = True
-        tbl = self._ts_table(columns=["term", "df", "nbytes"])
-        # top-N inside pyarrow (no full-vocabulary to_pylist + Python
-        # sort — on a large dictionary that materialization is avoidable
-        # driver memory/CPU)
-        top = tbl.take(
-            pc.select_k_unstable(
-                tbl, k=min(n_terms, tbl.num_rows),
-                sort_keys=[("nbytes", "descending")],
-            )
-        )
-        rows = list(zip(
-            top.column("term").to_pylist(),
-            top.column("df").to_pylist(),
-            top.column("nbytes").to_pylist(),
-        ))
+        rows = self._top_terms(n_terms)
         if not rows:
             return 0
         want_cap = max(_DECODED_CACHE.max_bytes, budget_bytes + (256 << 20))

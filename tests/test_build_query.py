@@ -310,6 +310,33 @@ def test_warm_hot_terms_identity(spark, built_index, oracle_index):
             assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q)
 
 
+def test_warm_worker_caches_identity(spark, built_index, oracle_index):
+    """Worker-side warm (block entries decoded into every Python
+    worker's cache) must change latency only — distributed pruned
+    results stay rank- and score-identical, including under a tiny
+    budget that cuts the warm short."""
+    index_dir, _ = built_index
+    # fast_path_bytes=0 forces the distributed scorers the warm targets
+    reader = IndexReader(spark, index_dir, fast_path_bytes=0)
+    try:
+        warmed = reader.warm_worker_caches(4)
+        assert warmed > 0  # every task warmed at least one block
+        for qid, q, k in gen_queries()[:8]:
+            want = oracle_index.search_bm25(q, k)
+            got = reader.search(q, k, mode="pruned")
+            assert [d for d, _ in got] == [d for d, _ in want], (qid, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q)
+        # budget too small to hold everything: still safe, still exact
+        assert reader.warm_worker_caches(4, budget_bytes=1024) >= 0
+        q = gen_queries()[0][1]
+        got = reader.search(q, 10, mode="pruned")
+        want = oracle_index.search_bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+    finally:
+        reader.close()
+
+
 def test_parse_bytes():
     from indexer_spark.query import _parse_bytes
 

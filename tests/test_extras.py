@@ -461,3 +461,102 @@ def test_frame_sample(spark):
     expect = sum((int(nf) + 29) // 30 for nf in vids["n_frames"])
     assert len(out) == expect
     assert (out["frame_idx"] % 30 == 0).all()
+
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def test_optional_decoder_guards_absent():
+    """Without the optional codec libraries installed, the optional
+    decode helpers return None (clean fall-through to strict_decoder,
+    never a crash) and media_decoder raises the documented error for
+    compressed payloads. In an environment WITH the libraries, the
+    skip-marked parity tests below take over."""
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    if not _has("PIL"):
+        assert multimodal._optional_image_decode(png_magic) is None
+        with pytest.raises(NotImplementedError):
+            multimodal.media_decoder(png_magic, "image")
+    if not _has("soundfile"):
+        assert multimodal._optional_audio_decode(b"fLaC" + b"\x00" * 64) is None
+        with pytest.raises(NotImplementedError):
+            multimodal.media_decoder(b"fLaC" + b"\x00" * 64, "audio")
+    if not _has("av"):
+        assert multimodal._optional_video_features(b"\x00\x00\x00\x18ftypmp4" + b"\x00" * 64) is None
+        with pytest.raises(NotImplementedError):
+            multimodal.media_decoder(b"\x00\x00\x00\x18ftypmp4", "video")
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow not installed")
+def test_optional_image_codec_parity():
+    """PNG (lossless) re-encode of the same pixels must produce
+    BIT-IDENTICAL features to the pure-numpy PPM path — the optional
+    codec is a decode plug, not a different feature pipeline."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    want = multimodal.image_features(arr)
+    got = multimodal.media_decoder(buf.getvalue(), "image")
+    np.testing.assert_array_equal(got, want)
+    # strict_decoder unreachable for decodable payloads when PIL exists
+    jpg = io.BytesIO()
+    Image.fromarray(arr).save(jpg, format="JPEG")
+    assert multimodal.media_decoder(jpg.getvalue(), "image").shape == (
+        multimodal.FEATURE_DIM,
+    )
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="soundfile not installed")
+def test_optional_audio_codec_parity():
+    """FLAC (lossless) re-encode of the same 16-bit samples must produce
+    near-identical features to the pure-numpy WAV path (same [-1, 1]
+    scale; FLAC round-trips int16 exactly)."""
+    import io
+
+    import soundfile as sf
+
+    rng = np.random.default_rng(4)
+    x16 = (rng.uniform(-0.5, 0.5, 4096) * 32767).astype(np.int16)
+    wav = multimodal.encode_wav(x16, 16000, bits=16)
+    want = multimodal.media_decoder(wav, "audio")
+    buf = io.BytesIO()
+    sf.write(buf, x16, 16000, format="FLAC", subtype="PCM_16")
+    got = multimodal.media_decoder(buf.getvalue(), "audio")
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.skipif(not _has("av"), reason="PyAV not installed")
+def test_optional_video_codec():
+    """Lossless-ish H.264 encode of RVID frames decodes through PyAV and
+    yields features of the right shape (lossy codecs can't be
+    bit-compared; shape + determinism is the contract here)."""
+    import io
+
+    import av
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=4)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for f in frames:
+            for packet in stream.encode(av.VideoFrame.from_ndarray(f, format="rgb24")):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    feats = multimodal.media_decoder(buf.getvalue(), "video")
+    assert feats.shape == (multimodal.FEATURE_DIM,)
+    feats2 = multimodal.media_decoder(buf.getvalue(), "video")
+    np.testing.assert_array_equal(feats, feats2)

@@ -67,7 +67,11 @@ def test_warm_cache_cap_restored_on_close(spark, built_index):
     from indexer_spark.query import _DECODED_CACHE
 
     index_dir, _ = built_index
-    prior = _DECODED_CACHE.max_bytes
+    orig = _DECODED_CACHE.max_bytes
+    # pin a small baseline: an earlier test's reader may have left the
+    # process cap raised already (that stickiness is exactly what close()
+    # fixes for readers that DO close)
+    _DECODED_CACHE.max_bytes = prior = 128 << 20
     r = IndexReader(spark, index_dir)
     try:
         warmed = r.warm_hot_terms(4)
@@ -78,9 +82,10 @@ def test_warm_cache_cap_restored_on_close(spark, built_index):
         for q in ["run dog", "don't"]:
             assert r.search(q, 10) == r2.search(q, 10)
         r2.close()
-    finally:
         r.close()
-    assert _DECODED_CACHE.max_bytes == prior
+        assert _DECODED_CACHE.max_bytes == prior
+    finally:
+        _DECODED_CACHE.max_bytes = orig
 
 
 def test_cached_terms_bookkeeping_bounded(spark, built_index):
