@@ -84,6 +84,14 @@ def main():
                   file=sys.stderr)
             out = run_level(cpus, n_turns)
             print(json.dumps(out), file=sys.stderr)
+            # raw-JSON disclosure: every rep committed, not just the best
+            raw_dir = os.path.join(os.path.dirname(__file__), "..",
+                                   "BENCH", "raw")
+            os.makedirs(raw_dir, exist_ok=True)
+            with open(os.path.join(
+                raw_dir, f"scaling_{n_turns}_l{cpus}_rep{rep}.json"
+            ), "w") as rf:
+                json.dump(out, rf)
             all_builds[cpus].append(out["queries"]["build"])
             # best-of-N: this VM has noisy neighbors (identical runs vary
             # ~1.5-2x); the minimum approximates uncontended capability
@@ -121,9 +129,10 @@ bench.py additionally reports per-process build_walls in the raw JSON).
 | index build wall (s) | {b8['build']} | {b32['build']} |
 | **index build throughput (turns/s)** | **{tp8:,.0f}** | **{tp32:,.0f}** |
 | corpus synth wall (s) | {b8['synth']} | {b32['synth']} |
-| BM25 top-10 p50 (s, warm) | {b8['bm25_p50']} | {b32['bm25_p50']} |
-| BM25 top-10 p95 (s, warm) | {b8['bm25_p95']} | {b32['bm25_p95']} |
-| TF-IDF query (s) | {b8['tfidf']} | {b32['tfidf']} |
+| BM25 top-10 p50 (s, warm) | {b8.get('bm25_p50', '-')} | {b32.get('bm25_p50', '-')} |
+| BM25 top-10 p95 (s, warm) | {b8.get('bm25_p95', '-')} | {b32.get('bm25_p95', '-')} |
+| TF-IDF query (s) | {b8.get('tfidf', '-')} | {b32.get('tfidf', '-')} |
+| CPU calibration (single / multi Gelem/s) | {levels[lo].get('calib_gops', {}).get('single', '-')} / {levels[lo].get('calib_gops', {}).get('multi', '-')} | {levels[hi].get('calib_gops', {}).get('single', '-')} / {levels[hi].get('calib_gops', {}).get('multi', '-')} |
 | shards | {levels[lo]['n_shards']} | {levels[hi]['n_shards']} |
 
 **Scaling efficiency (build throughput, N -> 4N): {eff:.3f}**
