@@ -50,14 +50,38 @@ def run_level(cpus: int, n_turns: int) -> dict:
         SPARK_GRAFT_QUERIES="light",
     )
     t0 = time.time()
-    proc = subprocess.run(
+    # level-aware hang timeout: ~4x a healthy rep's wall at that level.
+    # A rare Python-worker socket deadlock (one straggler task blocked on
+    # Arrow output while its worker waits for input) can freeze a rep
+    # indefinitely; a tight timeout turns that into a fast retry instead
+    # of a 50-minute stall.
+    hang_timeout = int(os.environ.get(
+        "SPARK_GRAFT_REP_TIMEOUT", "3000" if cpus <= 2 else "1500"
+    ))
+    # own session/process group: on timeout, kill the WHOLE group — with
+    # a plain subprocess.run(timeout=...), the orphaned JVM grandchild
+    # inherits the output pipes and communicate() blocks forever after
+    # the direct child is killed
+    proc = subprocess.Popen(
         _taskset_prefix(cpus)
         + [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3000,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
     )
+    try:
+        out_s, err_s = proc.communicate(timeout=hang_timeout)
+    except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        raise
     if proc.returncode != 0:
-        raise RuntimeError(f"bench at local[{cpus}] failed:\n{proc.stderr[-3000:]}")
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        raise RuntimeError(f"bench at local[{cpus}] failed:\n{err_s[-3000:]}")
+    line = [ln for ln in out_s.splitlines() if ln.startswith("{")][-1]
     out = json.loads(line)
     out["wall_total"] = round(time.time() - t0, 1)
     return out
@@ -82,16 +106,39 @@ def main():
         for rep in range(reps if cpus == base else reps_hi):
             print(f"=== local[{cpus}] / {n_turns} turns / rep {rep} ===",
                   file=sys.stderr)
-            out = run_level(cpus, n_turns)
-            print(json.dumps(out), file=sys.stderr)
             # raw-JSON disclosure: every rep committed, not just the best
             raw_dir = os.path.join(os.path.dirname(__file__), "..",
                                    "BENCH", "raw")
             os.makedirs(raw_dir, exist_ok=True)
-            with open(os.path.join(
+            raw_path = os.path.join(
                 raw_dir, f"scaling_{n_turns}_l{cpus}_rep{rep}.json"
-            ), "w") as rf:
-                json.dump(out, rf)
+            )
+            if os.path.exists(raw_path):
+                # resume: a crashed campaign re-run skips completed reps
+                # (each rep is an independent fresh-JVM measurement)
+                with open(raw_path) as rf:
+                    out = json.load(rf)
+                print(f"(resumed from {raw_path})", file=sys.stderr)
+            else:
+                try:
+                    out = run_level(cpus, n_turns)
+                except (RuntimeError, subprocess.TimeoutExpired) as e:
+                    # transient worker death or socket deadlock (noisy
+                    # VM): one retry per rep; a retried rep is a fresh
+                    # measurement, not a resample of a slow one
+                    print(f"rep failed ({str(e)[:200]}...), retrying once",
+                          file=sys.stderr)
+                    # a timeout kills only the direct child; reap any
+                    # orphaned bench JVM / workers so they can't hold
+                    # the pinned cores during the retry
+                    for pat in ("spark.app.name=indexer_spark_bench",
+                                "pyspark.daemon"):
+                        subprocess.run(["pkill", "-f", pat], check=False)
+                    time.sleep(5)
+                    out = run_level(cpus, n_turns)
+                print(json.dumps(out), file=sys.stderr)
+                with open(raw_path, "w") as rf:
+                    json.dump(out, rf)
             all_builds[cpus].append(out["queries"]["build"])
             # best-of-N: this VM has noisy neighbors (identical runs vary
             # ~1.5-2x); the minimum approximates uncontended capability
