@@ -191,6 +191,11 @@ def main():
             t0 = time.time()
             reader.search_tfidf(queries[2], 10)
             timings["tfidf"] = round(time.time() - t0, 3)
+            # repeat: the tfidf all-cached shortcut (round 4) scores the
+            # same query from the decoded-postings cache, no parquet read
+            t0 = time.time()
+            reader.search_tfidf(queries[2], 10)
+            timings["tfidf_steady"] = round(time.time() - t0, 3)
         log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s")
 
         # headline metric DEFINITION (changed round 4, documented in

@@ -880,35 +880,47 @@ class IndexReader:
             warmed += 1
         return warmed
 
-    def _fast_from_cache(self, present: list[str], idf: dict[str, float],
-                         k: int, require_all: int = 0) -> list | None:
-        """Score a BM25 query entirely from the decoded-postings cache —
-        no parquet read at all. Engages when every matched term's
+    def _fast_from_cache(self, present: list[str], weights: dict[str, float],
+                         k: int, require_all: int = 0,
+                         kind: str = "bm25") -> list | None:
+        """Score a query entirely from the decoded-postings cache — no
+        parquet read at all. Engages when every matched term's
         (shard, df, payload_len) rows are recorded as cached (by
         warm_hot_terms or a previous fast query); returns None — falling
         back to the reading paths — if any entry was LRU-evicted. Same
         chunks, same arithmetic, same aggregation as the reading fast
-        path, so results are identical."""
+        path, so results are identical. BM25 reads the compact normpart
+        (-2) entries; TF-IDF reads the raw decoded (-1) tuples (stored by
+        a previous tfidf scorer pass — its contribution w*tf needs the
+        raw tf, not the BM25 normalization)."""
         if self.fast_path_bytes <= 0:
             return None
         if any(t not in self._cached_terms for t in present):
             return None
+        slot = -2 if kind == "bm25" else -1
         id_chunks, sc_chunks = [], []
         for t in sorted(present):  # sorted-term order pins float order
-            w = idf[t]
+            w = weights[t]
             for sh, df, ln in sorted(self._cached_terms[t]):
-                hit = _DECODED_CACHE.get((self._epoch, sh, t, df, ln, -2))
+                hit = _DECODED_CACHE.get((self._epoch, sh, t, df, ln, slot))
                 if hit is None:
                     return None  # evicted: take the read path
-                d, normpart = hit
+                if kind == "bm25":
+                    d, normpart = hit
+                    sc_chunks.append(w * normpart)
+                else:
+                    d, tf, _dl = hit
+                    sc_chunks.append(w * tf.astype(np.float64))
                 id_chunks.append(d)
-                sc_chunks.append(w * normpart)
         if require_all:
             uids, sums = _aggregate_scores_and(
                 id_chunks, sc_chunks, require_all
             )
         else:
             uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        if kind == "tfidf":
+            keep = sums != 0.0  # P8: drop exact-zero scores (tree.rs:456-459)
+            uids, sums = uids[keep], sums[keep]
         uids, sums = _topk_merge(uids, sums, k)
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
@@ -1098,6 +1110,12 @@ class IndexReader:
             return []
         present = sorted(weights)
         kk = k if k is not None else n
+        # fastest path first: a repeat tfidf query whose raw decoded
+        # postings are still cache-resident scores without touching
+        # parquet (the tfidf twin of the bm25 all-cached shortcut)
+        hit = self._fast_from_cache(present, weights, kk, kind="tfidf")
+        if hit is not None:
+            return hit
         scorer = _make_exhaustive_scorer(
             weights, 0, 0, 1.0, kk, "tfidf", epoch=self._epoch
         )

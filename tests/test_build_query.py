@@ -310,6 +310,39 @@ def test_warm_hot_terms_identity(spark, built_index, oracle_index):
             assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q)
 
 
+def test_tfidf_all_cached_shortcut_identity(spark, built_index, oracle_index):
+    """A repeat TF-IDF query whose raw decoded postings are still
+    cache-resident must score with NO parquet read (the tfidf twin of
+    the bm25 all-cached path) and stay score-identical to both the first
+    run and the oracle; an evicted cache must fall back cleanly."""
+    index_dir, _ = built_index
+    reader = IndexReader(spark, index_dir)
+    qid, q, k = gen_queries()[2]
+    first = reader.search_tfidf(q, k)
+    assert first and reader.last_path == "fast"
+    # second run must come from the decoded cache alone: a parquet-read
+    # attempt (_fast_scored) would trip the sentinel
+    orig = reader._fast_scored
+    reader._fast_scored = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("repeat tfidf query read parquet"))
+    try:
+        again = reader.search_tfidf(q, k)
+    finally:
+        reader._fast_scored = orig
+    assert again == first
+    want = oracle_index.search_tfidf(q, k)
+    assert [d for d, _ in again] == [d for d, _ in want], (qid, q)
+    for (gd, gs), (wd, ws) in zip(again, want):
+        assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q, gd, gs, ws)
+    # eviction: a cleared cache falls back to the reading path, same result
+    from indexer_spark.query import _DECODED_CACHE
+
+    with _DECODED_CACHE._lock:
+        _DECODED_CACHE._d.clear()
+        _DECODED_CACHE._bytes = 0
+    assert reader.search_tfidf(q, k) == first
+
+
 def test_warm_worker_caches_identity(spark, built_index, oracle_index):
     """Worker-side warm (block entries decoded into every Python
     worker's cache) must change latency only — distributed pruned
