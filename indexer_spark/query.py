@@ -307,6 +307,127 @@ def _make_exhaustive_scorer(
     return fn
 
 
+def _make_and_scorer(
+    idf: dict[str, float], k1, b, avgdl, k, block_size,
+    n_required: int, epoch: tuple | None = None,
+):
+    """Candidate-driven conjunctive (AND) scorer.
+
+    The conjunction is evaluated shard-locally (doc-range sharding keeps
+    ALL of a doc's postings in its shard): a query term absent from the
+    shard empties it without decoding a byte. Otherwise the rarest term
+    is decoded in full to seed the candidate set, and every wider term
+    decodes ONLY the blocks whose doc-id range covers a still-alive
+    candidate (exact block metadata — last_doc_id — no score bounds
+    involved, so avgdl drift is irrelevant here). A selective AND query
+    therefore touches O(df_rarest) postings of a hot term instead of all
+    of them. Survivor scores use the same per-element arithmetic and
+    sorted-term addition order as the exhaustive AND accumulator
+    (_aggregate_scores_and), so results are bit-identical to
+    mode-exhaustive conjunction; blocks go through the worker-side
+    decoded LRU under the pruned scorer's exact keys."""
+    small_shard = SMALL_SHARD_THRESHOLD
+    exhaustive = _make_exhaustive_scorer(
+        idf, k1, b, avgdl, k, "bm25", epoch=epoch, require_all=n_required
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        if len(pdf) == 0 or pdf["term"].nunique() < n_required:
+            return empty
+        if int(pdf["df"].sum()) < small_shard:
+            return exhaustive(pdf)
+        gcache = None
+        if epoch is not None:
+            from indexer_spark.query import _DECODED_CACHE as gcache
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("term", kind="stable")
+        terms = []
+        for row in pdf.itertuples():
+            blocks = list(row.blocks)
+            terms.append({
+                "term": row.term, "df": int(row.df), "docs": row.docs,
+                "tfs": row.tfs, "dls": row.dls, "blocks": blocks,
+                "lasts": np.array(
+                    [blk["last_doc_id"] for blk in blocks], dtype=np.int64
+                ),
+                "w": idf[row.term], "cache": {},
+                "ckey": (
+                    (epoch, shard, row.term, int(row.df), len(row.docs))
+                    if epoch is not None else None
+                ),
+            })
+
+        def block(t, bi):
+            cached = t["cache"].get(bi)
+            if cached is None:
+                gkey = (
+                    t["ckey"] + (bi,)
+                    if (t["ckey"] is not None and gcache is not None)
+                    else None
+                )
+                cached = gcache.get(gkey) if gkey else None
+                if cached is None:
+                    cached = decode_block_slice(
+                        t["docs"], t["tfs"], t["dls"], t["blocks"],
+                        bi, bi + 1, t["df"], block_size=block_size,
+                    )
+                    if gkey is not None:
+                        gcache.put(gkey, cached)
+                t["cache"][bi] = cached
+            return cached
+
+        by_df = sorted(
+            range(len(terms)), key=lambda i: (terms[i]["df"], terms[i]["term"])
+        )
+        t0 = terms[by_df[0]]
+        cand = (
+            np.concatenate(
+                [block(t0, bi)[0] for bi in range(len(t0["blocks"]))]
+            )
+            if t0["blocks"] else np.zeros(0, dtype=np.int64)
+        )
+        for ti in by_df[1:]:
+            if cand.size == 0:
+                return empty
+            t = terms[ti]
+            bis = np.searchsorted(t["lasts"], cand)
+            valid = bis < t["lasts"].size  # past the term's last doc
+            present = np.zeros(cand.size, dtype=bool)
+            for bi in np.unique(bis[valid]):
+                d = block(t, int(bi))[0]
+                sel = valid & (bis == bi)
+                pos = np.searchsorted(d, cand[sel])
+                ok = pos < d.size
+                hit = np.zeros(int(sel.sum()), dtype=bool)
+                hit[ok] = d[pos[ok]] == cand[sel][ok]
+                present[np.nonzero(sel)[0]] = hit
+            cand = cand[present]
+        if cand.size == 0:
+            return empty
+
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted-term order pins float addition order
+            contrib = np.empty(cand.size, dtype=np.float64)
+            bis = np.searchsorted(t["lasts"], cand)
+            for bi in np.unique(bis):
+                d, tf, dl = block(t, int(bi))
+                sel = bis == bi
+                pos = np.searchsorted(d, cand[sel])
+                tfv = tf[pos].astype(np.float64)
+                # same association as the pruned/exhaustive scorers so
+                # conjunctive stays bit-identical to them
+                contrib[sel] = t["w"] * (
+                    tfv * (k1 + 1.0)
+                    / (tfv + k1 * (1.0 - b + b * dl[pos] / avgdl))
+                )
+            score += contrib
+        uids, sums = _topk_merge(cand, score, k)
+        return pd.DataFrame({"doc_id": uids, "score": sums})
+
+    return fn
+
+
 def _shard_grouped(scorer):
     """mapInPandas wrapper: accumulate a task's Arrow batches, then run
     the per-shard scorer on each shard present. Correct ONLY when a
@@ -1046,11 +1167,11 @@ class IndexReader:
         if mode == "and":
             if len(present) < len(terms):
                 return None
-            scorer = _make_exhaustive_scorer(
-                idf, st["k1"], st["b"], st["avgdl"], k, "bm25",
-                epoch=self._epoch, require_all=len(present),
+            scorer = _make_and_scorer(
+                idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"],
+                n_required=len(present), epoch=self._epoch,
             )
-            cols = ["shard", "term", "df", "docs", "tfs", "dls"]
+            cols = ["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
         elif mode == "pruned":
             scorer = _make_pruned_scorer(
                 idf, st["k1"], st["b"], st["avgdl"], k, st["block_size"],

@@ -148,6 +148,97 @@ def test_bm25_and_rank_identity(spark, built_index, oracle_index):
         fast.close()
 
 
+def test_and_candidate_scorer_identity(spark, built_index, oracle_index,
+                                       monkeypatch):
+    """With the small-shard fallback disabled, every shard runs the
+    candidate-driven AND scorer (rarest term seeds candidates, wider
+    terms decode only covering blocks) — results must stay rank- and
+    score-identical to the oracle conjunction."""
+    import indexer_spark.query as qmod
+
+    monkeypatch.setattr(qmod, "SMALL_SHARD_THRESHOLD", 0)
+    index_dir, _ = built_index
+    dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+    try:
+        queries = [q for _, q, _ in gen_queries() if q.strip()]
+        queries += ["run dog", "fox lazy dog", "the fox", "zzznotaword run"]
+        for q in queries:
+            want = oracle_index.search_bm25_and(q, 10)
+            got = dist.search(q, 10, mode="and")
+            assert [d for d, _ in got] == [d for d, _ in want], (
+                f"{q!r}: candidate-AND ranks differ\n got {got}\nwant {want}"
+            )
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=REL_TOL), (q, gd, gs, ws)
+    finally:
+        dist.close()
+
+
+def test_and_scorer_skips_hot_term_blocks(built_index, monkeypatch):
+    """A selective AND (rare term AND hot term) must decode only the hot
+    term's candidate-covering blocks — the point of the candidate-driven
+    scorer at scale — while matching the exhaustive conjunction."""
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    import indexer_spark.query as qmod
+    from indexer_spark.build import read_stats
+
+    index_dir, _ = built_index
+    st = read_stats(index_dir)
+    ds = pads.dataset(os.path.join(index_dir, "postings"),
+                      format="parquet", partitioning="hive")
+    tbl = ds.to_table(
+        columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"])
+    allpdf = tbl.to_pandas()
+    from indexer_spark.build import META_TERM
+
+    allpdf = allpdf[allpdf["term"] != META_TERM].reset_index(drop=True)
+    totals = allpdf.groupby("term")["df"].sum()
+    hot = totals.idxmax()
+    rare = totals[totals.index != hot].idxmin()
+    pdf = allpdf[allpdf["term"].isin([hot, rare])].reset_index(drop=True)
+    n_hot_blocks = int(sum(
+        len(r.blocks) for r in pdf.itertuples() if r.term == hot))
+    assert n_hot_blocks > 1
+
+    docs_to_term = {id(r.docs): r.term for r in pdf.itertuples()}
+    decoded = []
+    real = qmod.decode_block_slice
+
+    def counting(docs, tfs, dls, blocks, i, j, n, block_size=128):
+        decoded.append(docs_to_term.get(id(docs), "?"))
+        return real(docs, tfs, dls, blocks, i, j, n, block_size=block_size)
+
+    monkeypatch.setattr(qmod, "decode_block_slice", counting)
+    monkeypatch.setattr(qmod, "SMALL_SHARD_THRESHOLD", 0)
+    n = st["n_docs"]
+    from indexer_spark.query import _bm25_idf
+    idf = {t: _bm25_idf(n, int(totals[t])) for t in (hot, rare)}
+    scorer = qmod._make_and_scorer(
+        idf, st["k1"], st["b"], st["avgdl"], 10, st["block_size"],
+        n_required=2, epoch=None,
+    )
+    exhaustive = qmod._make_exhaustive_scorer(
+        idf, st["k1"], st["b"], st["avgdl"], 10, "bm25", require_all=2,
+    )
+    got_parts, want_parts = [], []
+    for _sh, g in pdf.groupby("shard", sort=True):
+        got_parts.append(scorer(g))
+        want_parts.append(exhaustive(g))
+    got = pd.concat(got_parts, ignore_index=True)
+    want = pd.concat(want_parts, ignore_index=True)
+    for col in ("doc_id", "score"):
+        assert got[col].tolist() == want[col].tolist()
+    hot_decodes = decoded.count(hot)
+    assert hot_decodes < n_hot_blocks, (
+        f"decoded {hot_decodes}/{n_hot_blocks} hot-term blocks — "
+        "candidate pruning is not skipping anything"
+    )
+
+
 def test_tfidf_rank_identity(spark, built_index, oracle_index):
     index_dir, _ = built_index
     reader = IndexReader(spark, index_dir, fast_path_bytes=0)
