@@ -196,6 +196,10 @@ def main():
             t0 = time.time()
             reader.search_tfidf(queries[2], 10)
             timings["tfidf_steady"] = round(time.time() - t0, 3)
+            # conjunctive extension (candidate-driven block-skipping scorer)
+            t0 = time.time()
+            reader.search(queries[2], 10, mode="and")
+            timings["bm25_and"] = round(time.time() - t0, 3)
         log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s")
 
         # headline metric DEFINITION (changed round 4, documented in
