@@ -196,10 +196,17 @@ def main():
             t0 = time.time()
             reader.search_tfidf(queries[2], 10)
             timings["tfidf_steady"] = round(time.time() - t0, 3)
-            # conjunctive extension (candidate-driven block-skipping scorer)
+            # conjunctive extension — service-visible latency (warm
+            # reader: typically the driver fast/all-cached AND path)
             t0 = time.time()
             reader.search(queries[2], 10, mode="and")
             timings["bm25_and"] = round(time.time() - t0, 3)
+            # and the distributed candidate-driven scorer specifically
+            # (fast paths disabled so _make_and_scorer actually runs)
+            with IndexReader(spark, index_dir, fast_path_bytes=0) as r2:
+                t0 = time.time()
+                r2.search(queries[2], 10, mode="and")
+                timings["bm25_and_dist"] = round(time.time() - t0, 3)
         log(f"queries: p50={timings['bm25_p50']}s p95={timings['bm25_p95']}s")
 
         # headline metric DEFINITION (changed round 4, documented in

@@ -401,7 +401,7 @@ def _make_and_scorer(
                 ok = pos < d.size
                 hit = np.zeros(int(sel.sum()), dtype=bool)
                 hit[ok] = d[pos[ok]] == cand[sel][ok]
-                present[np.nonzero(sel)[0]] = hit
+                present[sel] = hit
             cand = cand[present]
         if cand.size == 0:
             return empty
@@ -1038,10 +1038,9 @@ class IndexReader:
                 id_chunks, sc_chunks, require_all
             )
         else:
+            # P8's exact-zero drop (tree.rs:456-459) is already enforced
+            # here: _aggregate_scores never emits zero sums
             uids, sums = _aggregate_scores(id_chunks, sc_chunks)
-        if kind == "tfidf":
-            keep = sums != 0.0  # P8: drop exact-zero scores (tree.rs:456-459)
-            uids, sums = uids[keep], sums[keep]
         uids, sums = _topk_merge(uids, sums, k)
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
