@@ -28,6 +28,7 @@ score EVERY matching doc, then full sort) with:
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 
 import numpy as np
@@ -934,7 +935,7 @@ class IndexReader:
         return int(out[0]["n"]) if out else 0
 
     def warm_hot_terms(self, n_terms: int = 16,
-                       budget_bytes: int = 768 << 20) -> int:
+                       budget_bytes: int | None = None) -> int:
         """Pre-decode the largest posting lists into the decoded-postings
         cache (driver side), ranked by term_stats ``nbytes``. A query
         service calls this at startup so the FIRST query for a hot term
@@ -954,7 +955,31 @@ class IndexReader:
         rows = self._top_terms(n_terms)
         if not rows:
             return 0
-        want_cap = max(_DECODED_CACHE.max_bytes, budget_bytes + (256 << 20))
+        if budget_bytes is None:
+            # adaptive default: size the budget to hold ALL requested
+            # terms (projected stored size is exact — 16 B/posting), up
+            # to a ceiling. A fixed 768 MB default silently warmed only
+            # 9/16 terms on an 8M-turn index and repeat hot queries fell
+            # back to the 2 s distributed path (measured, BENCH notes);
+            # the ceiling keeps a misconfigured huge index from eating
+            # the driver heap (tune per deployment).
+            ceiling = int(
+                os.environ.get("INDEXER_SPARK_WARM_CAP_MB", "4096")
+            ) << 20
+            budget_bytes = min(
+                sum(16 * int(df) for _, df, _ in rows), ceiling
+            )
+        # headroom above the warmed set so query-time entries (tfidf raw
+        # decodes, unwarmed mid-size terms) don't evict warmed ones: the
+        # unwarmed tail of a query set decodes to the same order of
+        # magnitude as the warmed head (measured at 8M turns: 25%
+        # headroom still thrashed the hot set and repeat hot queries fell
+        # back to the distributed path), so give it as much room as the
+        # warmed set itself
+        want_cap = max(
+            _DECODED_CACHE.max_bytes,
+            budget_bytes + max(512 << 20, budget_bytes),
+        )
         if want_cap > _DECODED_CACHE.max_bytes:
             if self._cache_cap_prior is None:
                 self._cache_cap_prior = _DECODED_CACHE.max_bytes
@@ -1045,6 +1070,93 @@ class IndexReader:
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
 
+    def _fast_hybrid(self, present: list[str], idf: dict[str, float],
+                     k: int, require_all: int = 0) -> list | None:
+        """Partial-coverage driver path (BM25): score cache-covered terms
+        from the decoded LRU and read ONLY the uncovered terms' rows from
+        parquet, gating ``fast_path_bytes`` on the UNCOVERED payload
+        alone. This serves the common service shape where a query mixes
+        warmed hot terms with mid-frequency ones: the full payload may
+        exceed the driver threshold while the unread remainder is small
+        (measured at 8M turns: a 5-term hot query with 2/5 terms warmed
+        fell all the way back to the ~2 s distributed path; the uncovered
+        3 terms' payload alone fit the driver budget). Decoded rows are
+        cached and recorded, so the NEXT repeat takes the pure
+        _fast_from_cache path. Same per-row arithmetic and sorted-term
+        chunk order as the exhaustive scorer — results bit-identical."""
+        if self.fast_path_bytes <= 0 or not self._has_nbytes:
+            return None
+        covered: dict[str, list] = {}
+        uncovered: list[str] = []
+        for t in present:
+            rows = self._cached_terms.get(t)
+            chunks = None
+            if rows is not None:
+                chunks = []
+                for sh, df, ln in sorted(rows):
+                    hit = _DECODED_CACHE.get(
+                        (self._epoch, sh, t, df, ln, -2))
+                    if hit is None:
+                        chunks = None  # evicted -> treat as uncovered
+                        break
+                    chunks.append(hit)
+            if chunks is None:
+                uncovered.append(t)
+            else:
+                covered[t] = chunks
+        if not uncovered or len(uncovered) == len(present):
+            # fully covered is _fast_from_cache's job; fully uncovered is
+            # _fast_scored's — this path only pays off in between
+            return None
+        if sum(self._nbytes_cache.get(t, 0) for t in uncovered) \
+                > self.fast_path_bytes:
+            return None
+        import pyarrow.dataset as pads
+
+        tbl = self._post_table(
+            columns=["shard", "term", "df", "docs", "tfs", "dls"],
+            filter=pads.field("term").isin(uncovered),
+        )
+        pdf = tbl.to_pandas()
+        by_term: dict[str, list] = {}
+        for row in pdf.itertuples():
+            by_term.setdefault(row.term, []).append(row)
+        st = self.stats
+        k1, b_, avgdl = st["k1"], st["b"], st["avgdl"]
+        id_chunks, sc_chunks = [], []
+        for t in sorted(present):  # sorted-term order pins float order
+            w = idf[t]
+            if t in covered:
+                for d, normpart in covered[t]:
+                    id_chunks.append(d)
+                    sc_chunks.append(w * normpart)
+                continue
+            for row in by_term.get(t, ()):
+                base = (self._epoch, int(row.shard), t, int(row.df),
+                        len(row.docs))
+                hit = _DECODED_CACHE.get(base + (-2,))
+                if hit is None:
+                    d, tfv, dl = decode_postings(
+                        row.docs, row.tfs, row.dls, int(row.df))
+                    tfd = tfv.astype(np.float64)
+                    normpart = tfd * (k1 + 1.0) / (
+                        tfd + k1 * (1.0 - b_ + b_ * dl / avgdl))
+                    _DECODED_CACHE.put(base + (-2,), (d, normpart))
+                    hit = (d, normpart)
+                d, normpart = hit
+                id_chunks.append(d)
+                sc_chunks.append(w * normpart)
+                self._record_cached(
+                    t, (int(row.shard), int(row.df), len(row.docs)))
+        if require_all:
+            uids, sums = _aggregate_scores_and(
+                id_chunks, sc_chunks, require_all)
+        else:
+            uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        uids, sums = _topk_merge(uids, sums, k)
+        self.last_path = "fast"
+        return [(int(d), float(s)) for d, s in zip(uids, sums)]
+
     def _fast_scored(self, present: list[str], scorer) -> list | None:
         """Driver fast path: when the matched postings payload is small
         (per-term nbytes from term_stats), read the matched rows with
@@ -1130,6 +1242,11 @@ class IndexReader:
         # fastest path first: fully-cached terms score without touching
         # parquet at all (identical arithmetic)
         hit = self._fast_from_cache(present, idf, k, require_all=require)
+        if hit is not None:
+            return hit
+        # partial coverage: cached terms from the LRU, the (small)
+        # uncovered remainder from parquet
+        hit = self._fast_hybrid(present, idf, k, require_all=require)
         if hit is not None:
             return hit
         # the fast path always scores exhaustively: with the O(n) dense

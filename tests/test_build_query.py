@@ -401,6 +401,58 @@ def test_warm_hot_terms_identity(spark, built_index, oracle_index):
             assert math.isclose(gs, ws, rel_tol=REL_TOL), (qid, q)
 
 
+def test_hybrid_partial_coverage_path(spark, built_index, oracle_index,
+                                      corpus_pdf):
+    """A query mixing a cache-covered term with an uncovered one, whose
+    FULL payload exceeds fast_path_bytes but whose uncovered remainder
+    fits, must be served by the hybrid driver path (no Spark job),
+    oracle-identical — and the repeat must come purely from the cache."""
+    from indexer_spark.lexer import tokenize
+
+    index_dir, _ = built_index
+    reader = IndexReader(spark, index_dir)
+    # pick two corpus words mapping to distinct indexed terms
+    cands: dict[str, str] = {}
+    for text in corpus_pdf["text"].head(40):
+        for w in str(text).split():
+            toks = tokenize(w)
+            if len(toks) == 1 and oracle_index.df(toks[0]) >= 3:
+                cands.setdefault(toks[0], w)
+    terms = sorted(cands, key=lambda t: oracle_index.df(t))
+    assert len(terms) >= 2
+    wa, wb = cands[terms[-1]], cands[terms[0]]  # hot word, smaller word
+    q = f"{wa} {wb}"
+    # prime coverage for the hot word via a single-term driver query
+    first = reader.search(wa, 10)
+    assert first and reader.last_path == "fast"
+    reader.search(wb, 1)  # populate _nbytes_cache
+    nb_a = reader._nbytes_cache.get(terms[-1], 0)
+    nb_b = reader._nbytes_cache.get(terms[0], 0)
+    assert nb_a > 1 and nb_b > 0
+    # full payload over the threshold, uncovered remainder under it
+    reader.fast_path_bytes = nb_b + 1
+    reader._cached_terms.pop(terms[0], None)  # drop wb's coverage
+    want = oracle_index.search_bm25(q, 10)
+    got = reader.search(q, 10)
+    assert reader.last_path == "fast"
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=REL_TOL)
+    # repeat: fully covered now -> pure cache, no parquet read at all
+    orig = reader._post_table
+    reader._post_table = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("repeat read parquet"))
+    try:
+        again = reader.search(q, 10)
+    finally:
+        reader._post_table = orig
+    assert again == got
+    # conjunctive flavor takes the same path
+    want_and = oracle_index.search_bm25_and(q, 10)
+    got_and = reader.search(q, 10, mode="and")
+    assert [d for d, _ in got_and] == [d for d, _ in want_and]
+
+
 def test_tfidf_all_cached_shortcut_identity(spark, built_index, oracle_index):
     """A repeat TF-IDF query whose raw decoded postings are still
     cache-resident must score with NO parquet read (the tfidf twin of
