@@ -69,6 +69,17 @@ def _parse_bytes(v: str) -> int | None:
         return None
 
 
+def _bm25_normpart(tf64: np.ndarray, dl: np.ndarray, k1: float, b: float,
+                   avgdl: float) -> np.ndarray:
+    """Query-independent BM25 tf-normalization. The SINGLE definition of
+    this expression: the -2 cache entries, the driver paths and the
+    distributed scorers must all produce bit-identical floats, so they
+    all call this (an epsilon change anywhere else would silently break
+    the repeat-path identity invariants). ``tf64`` must be float64;
+    ``dl`` keeps its decoded dtype (int64) — the division promotes."""
+    return tf64 * (k1 + 1.0) / (tf64 + k1 * (1.0 - b + b * dl / avgdl))
+
+
 def _bm25_idf(n: int, df: int) -> float:
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
@@ -283,9 +294,7 @@ def _make_exhaustive_scorer(
             d, t, dl = cached
             tf = t.astype(np.float64)
             if kind == "bm25":
-                normpart = tf * (k1 + 1.0) / (
-                    tf + k1 * (1.0 - b + b * dl / avgdl)
-                )
+                normpart = _bm25_normpart(tf, dl, k1, b, avgdl)
                 if base_key is not None:
                     cache.put(base_key + (-2,), (d, normpart))
                 contrib = w * normpart
@@ -416,12 +425,8 @@ def _make_and_scorer(
                 sel = bis == bi
                 pos = np.searchsorted(d, cand[sel])
                 tfv = tf[pos].astype(np.float64)
-                # same association as the pruned/exhaustive scorers so
-                # conjunctive stays bit-identical to them
-                contrib[sel] = t["w"] * (
-                    tfv * (k1 + 1.0)
-                    / (tfv + k1 * (1.0 - b + b * dl[pos] / avgdl))
-                )
+                contrib[sel] = t["w"] * _bm25_normpart(
+                    tfv, dl[pos], k1, b, avgdl)
             score += contrib
         uids, sums = _topk_merge(cand, score, k)
         return pd.DataFrame({"doc_id": uids, "score": sums})
@@ -554,13 +559,8 @@ def _make_pruned_scorer(
                 if s_idx == e_idx:
                     continue
                 tfv = tf[s_idx:e_idx].astype(np.float64)
-                # same association as the exhaustive scorer's cached
-                # normpart (w * (tf-normalization)) so pruned stays
-                # bit-identical to exhaustive
-                contrib = t["w"] * (
-                    tfv * (k1 + 1.0)
-                    / (tfv + k1 * (1.0 - b + b * dl[s_idx:e_idx] / avgdl))
-                )
+                contrib = t["w"] * _bm25_normpart(
+                    tfv, dl[s_idx:e_idx], k1, b, avgdl)
                 id_chunks.append(d[s_idx:e_idx])
                 sc_chunks.append(contrib)
             if not id_chunks:
@@ -960,12 +960,18 @@ class IndexReader:
             # terms (projected stored size is exact — 16 B/posting), up
             # to a ceiling. A fixed 768 MB default silently warmed only
             # 9/16 terms on an 8M-turn index and repeat hot queries fell
-            # back to the 2 s distributed path (measured, BENCH notes);
-            # the ceiling keeps a misconfigured huge index from eating
-            # the driver heap (tune per deployment).
-            ceiling = int(
-                os.environ.get("INDEXER_SPARK_WARM_CAP_MB", "4096")
-            ) << 20
+            # back to the 2 s distributed path (measured, BENCH notes).
+            # The 2 GB default ceiling (cache cap <= ~4 GB with headroom)
+            # bounds driver memory on huge indexes — raise it per
+            # deployment; a malformed value falls back rather than
+            # crashing (or worse, being swallowed by a server's warm
+            # guard, silently disabling warming).
+            try:
+                ceiling = int(
+                    os.environ.get("INDEXER_SPARK_WARM_CAP_MB", "2048")
+                ) << 20
+            except (TypeError, ValueError):
+                ceiling = 2048 << 20
             budget_bytes = min(
                 sum(16 * int(df) for _, df, _ in rows), ceiling
             )
@@ -1015,11 +1021,9 @@ class IndexReader:
                 base = (self._epoch, int(sh), t, int(df_r), len(docs))
                 if _DECODED_CACHE.get(base + (-2,)) is None:
                     d, tfv, dl = decode_postings(docs, tfs, dls, int(df_r))
-                    tfd = tfv.astype(np.float64)
-                    normpart = tfd * (st["k1"] + 1.0) / (
-                        tfd + st["k1"]
-                        * (1.0 - st["b"] + st["b"] * dl / st["avgdl"])
-                    )
+                    normpart = _bm25_normpart(
+                        tfv.astype(np.float64), dl,
+                        st["k1"], st["b"], st["avgdl"])
                     _DECODED_CACHE.put(base + (-2,), (d, normpart))
                     spent += d.nbytes + normpart.nbytes
                 self._record_cached(t, (int(sh), int(df_r), len(docs)))
@@ -1138,9 +1142,8 @@ class IndexReader:
                 if hit is None:
                     d, tfv, dl = decode_postings(
                         row.docs, row.tfs, row.dls, int(row.df))
-                    tfd = tfv.astype(np.float64)
-                    normpart = tfd * (k1 + 1.0) / (
-                        tfd + k1 * (1.0 - b_ + b_ * dl / avgdl))
+                    normpart = _bm25_normpart(
+                        tfv.astype(np.float64), dl, k1, b_, avgdl)
                     _DECODED_CACHE.put(base + (-2,), (d, normpart))
                     hit = (d, normpart)
                 d, normpart = hit

@@ -447,10 +447,16 @@ def test_hybrid_partial_coverage_path(spark, built_index, oracle_index,
     finally:
         reader._post_table = orig
     assert again == got
-    # conjunctive flavor takes the same path
+    # conjunctive flavor through the HYBRID branch specifically: drop
+    # wb's coverage again so _fast_from_cache refuses and _fast_hybrid's
+    # require_all wiring is the thing under test
+    reader._cached_terms.pop(terms[0], None)
     want_and = oracle_index.search_bm25_and(q, 10)
     got_and = reader.search(q, 10, mode="and")
+    assert reader.last_path == "fast"
     assert [d for d, _ in got_and] == [d for d, _ in want_and]
+    for (gd, gs), (wd, ws) in zip(got_and, want_and):
+        assert math.isclose(gs, ws, rel_tol=REL_TOL)
 
 
 def test_tfidf_all_cached_shortcut_identity(spark, built_index, oracle_index):
