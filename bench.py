@@ -29,6 +29,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ONE shared work constant for single AND multi calibration scores, so
+# ratio is genuinely multi/(single*cpus) of the same workload. (Rounds
+# 1-4 computed multi from a stale 8*4M constant, overstating multi and
+# ratio by 32e6/26.2e6 = 1.2207x — historical calib blocks in BENCH/raw
+# carry that inflation; see BENCH/BASELINE.md for the annotation.)
+_CALIB_PASSES = 400
+_CALIB_ELEMS = 65_536
+_CALIB_WORK = _CALIB_PASSES * _CALIB_ELEMS
+
+
 def _calib_one(_=None) -> float:
     """One fixed pure-CPU work unit: integer multiply/mod + sum over a
     64K-element int64 array (cache-resident — 512 KB, so the score
@@ -37,14 +47,14 @@ def _calib_one(_=None) -> float:
     varies only with the machine/window, not the input."""
     import numpy as np
 
-    a = np.arange(65_536, dtype=np.int64)
+    a = np.arange(_CALIB_ELEMS, dtype=np.int64)
     t0 = time.perf_counter()
     acc = 0
-    for _i in range(400):
+    for _i in range(_CALIB_PASSES):
         acc += int(((a * 31 + 7) % 997).sum())
     dt = time.perf_counter() - t0
     assert acc != 0
-    return round(400 * 65_536 / dt / 1e9, 3)
+    return round(_CALIB_WORK / dt / 1e9, 3)
 
 
 def _calibrate(cpus: int) -> dict:
@@ -65,7 +75,7 @@ def _calibrate(cpus: int) -> dict:
         t0 = time.perf_counter()
         pool.map(_calib_one, range(cpus))
         dt = time.perf_counter() - t0
-    multi = round(cpus * 8 * 4_000_000 / dt / 1e9, 3)
+    multi = round(cpus * _CALIB_WORK / dt / 1e9, 3)
     return {
         "single": single,
         "multi": multi,

@@ -199,12 +199,21 @@ def simhash_portable(
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col="text", id_col="doc_id", max_hamming: int = 3
+    df: DataFrame, text_col="text", id_col="doc_id", max_hamming: int = 3,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup: block on 4 x 16-bit chunks (pigeonhole: any pair
     within hamming distance 3 shares at least one exact chunk), then
     verify the full hamming distance on candidates — the standard
-    Manku/Jain/Sarma chunk-join, linear in docs per block."""
+    Manku/Jain/Sarma chunk-join, linear in docs per block.
+
+    ``max_block_size`` drops chunk-key blocks above the cap before the
+    self-join, the same sized-join guard as lsh_candidate_pairs /
+    embedding_near_duplicates: a 16-bit chunk space has only 65,536 keys,
+    so at 10^7+ Zipf-ish docs the mean block alone goes quadratic
+    (C(305, 2) pairs/key/chunk at 20M docs ≈ 10^10 candidates). Docs in a
+    dropped block are near-identical boilerplate by construction; exact
+    dedup (hash-groupBy) owns that mass."""
     sh = simhash64(df, text_col, id_col)
     chunks = []
     for c in range(4):
@@ -221,6 +230,12 @@ def simhash_near_duplicates(
     allc = chunks[0]
     for x in chunks[1:]:
         allc = allc.unionByName(x)
+    # persist: feeds the block-size agg AND both self-join sides (one
+    # snapshot; same rationale as lsh_candidate_pairs)
+    allc = allc.persist()
+    allc = allc.join(
+        allc.groupBy("chunk", "key").count(), ["chunk", "key"]
+    ).filter(F.col("count") <= max_block_size)
     a, b = allc.alias("a"), allc.alias("b")
     cand = (
         a.join(

@@ -148,6 +148,44 @@ class _DecodedLRU:
 
 _DECODED_CACHE = _DecodedLRU()
 
+# warm_hot_terms raises the process-global decoded-cache cap; with several
+# reader lifecycles interleaved in one process (a server swapping indexes),
+# per-reader "restore my prior" bookkeeping can settle the cap at a stale
+# intermediate raise (A warms to X, B warms to Y>X, A closes as a no-op, B
+# closes restoring A's X). A module-level refcount + the ONE genuine
+# pre-raise cap makes the LAST closer restore the true original.
+import threading as _threading
+
+_CACHE_CAP_LOCK = _threading.Lock()
+_CACHE_CAP_REFS = 0
+_CACHE_CAP_ORIG: int | None = None
+
+
+def _cache_cap_acquire(want_cap: int) -> None:
+    """Raise the global decoded-cache cap to at least want_cap, taking one
+    refcount share for the calling reader (idempotent raises by the same
+    reader must call this only on their FIRST raise)."""
+    global _CACHE_CAP_REFS, _CACHE_CAP_ORIG
+    with _CACHE_CAP_LOCK:
+        if _CACHE_CAP_REFS == 0:
+            _CACHE_CAP_ORIG = _DECODED_CACHE.max_bytes
+        _CACHE_CAP_REFS += 1
+        if want_cap > _DECODED_CACHE.max_bytes:
+            _DECODED_CACHE.max_bytes = want_cap
+
+
+def _cache_cap_release() -> None:
+    """Drop one refcount share; the last release restores the genuine
+    pre-raise cap (never an intermediate raise)."""
+    global _CACHE_CAP_REFS, _CACHE_CAP_ORIG
+    with _CACHE_CAP_LOCK:
+        if _CACHE_CAP_REFS == 0:
+            return
+        _CACHE_CAP_REFS -= 1
+        if _CACHE_CAP_REFS == 0 and _CACHE_CAP_ORIG is not None:
+            _DECODED_CACHE.max_bytes = _CACHE_CAP_ORIG
+            _CACHE_CAP_ORIG = None
+
 
 def _aggregate_scores(id_chunks, score_chunks):
     """Per-term contribution arrays -> per-doc sums, O(n) with no sort.
@@ -670,10 +708,9 @@ class IndexReader:
         self._cached_terms: dict[str, set[tuple[int, int, int]]] = {}
         self._cached_terms_max = 65_536
         # warm_hot_terms raises the process-global decoded-cache cap;
-        # remember the prior so close() can undo it instead of leaving a
-        # sticky mutation on every reader sharing the process
-        self._cache_cap_prior: int | None = None
-        self._cache_cap_raised: int = 0
+        # the raise is refcounted at module level (see _cache_cap_acquire)
+        # so the LAST closing reader restores the genuine pre-raise cap
+        self._cache_cap_held = False
         # shuffle-free scoring requires whole-file scan tasks: pin the
         # split size above the largest committed postings file (recorded
         # at build time). If the conf cannot be raised, queries fall
@@ -681,24 +718,7 @@ class IndexReader:
         self._whole_file_tasks = False
         self._conf_priors: dict[str, str] = {}
         self._need_bytes: int | None = None
-        max_file = self.stats.get("max_postings_file_bytes")
-        if max_file is not None:  # indexes that recorded the invariant
-            need = int(max_file) + 1
-            self._need_bytes = need
-            try:
-                cur = _parse_bytes(
-                    spark.conf.get("spark.sql.files.maxPartitionBytes")
-                )
-                if cur is None or cur < need:
-                    # remember priors so close() can undo the session-wide
-                    # raise (an unrelated later scan must not inherit it)
-                    for key in ("spark.sql.files.maxPartitionBytes",
-                                "spark.sql.files.openCostInBytes"):
-                        self._conf_priors[key] = spark.conf.get(key)
-                        spark.conf.set(key, str(need))
-                self._whole_file_tasks = True
-            except Exception:
-                pass
+        self._pin_split_size()
         # shard -> upper-bound rescale for appended indexes whose avgdl
         # drifted upward since a shard's block maxima were computed
         avgdl_now = self.stats["avgdl"]
@@ -717,6 +737,43 @@ class IndexReader:
 
         warm_workers(spark)
 
+    def _pin_split_size(self) -> None:
+        """(Re-)pin the file split-size confs above the largest committed
+        postings file so every scan task sees whole files — the invariant
+        _shard_grouped relies on. Called at init and again from
+        _refresh_snapshot: append/update grow max_postings_file_bytes
+        monotonically (build.py), so a pin taken at init can be too small
+        for the refreshed snapshot — a postings file larger than the old
+        pin would then be split across scan tasks and _shard_grouped
+        would emit partial per-shard sums (wrong BM25 scores; AND mode
+        could drop matching docs). If the conf cannot be raised, clears
+        _whole_file_tasks so queries fall back to the always-safe
+        groupBy(shard) exchange plan."""
+        max_file = self.stats.get("max_postings_file_bytes")
+        if max_file is None:
+            self._whole_file_tasks = False
+            self._need_bytes = None
+            return
+        need = int(max_file) + 1
+        self._need_bytes = need
+        try:
+            cur = _parse_bytes(
+                self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+            if cur is None or cur < need:
+                for key in ("spark.sql.files.maxPartitionBytes",
+                            "spark.sql.files.openCostInBytes"):
+                    # record a prior only ONCE per reader so close()
+                    # restores the genuine pre-reader value, not an
+                    # intermediate pin from an earlier refresh
+                    self._conf_priors.setdefault(
+                        key, self.spark.conf.get(key)
+                    )
+                    self.spark.conf.set(key, str(need))
+            self._whole_file_tasks = True
+        except Exception:
+            self._whole_file_tasks = False
+
     # -- lifecycle ---------------------------------------------------------
 
     def close(self) -> None:
@@ -731,11 +788,9 @@ class IndexReader:
             except Exception:
                 pass
         self._conf_priors = {}
-        if self._cache_cap_prior is not None:
-            # restore only if nobody else raised it higher meanwhile
-            if _DECODED_CACHE.max_bytes == self._cache_cap_raised:
-                _DECODED_CACHE.max_bytes = self._cache_cap_prior
-            self._cache_cap_prior = None
+        if self._cache_cap_held:
+            _cache_cap_release()
+            self._cache_cap_held = False
 
     def __enter__(self):
         return self
@@ -760,6 +815,10 @@ class IndexReader:
         self._df_cache.clear()
         self._nbytes_cache.clear()
         self._cached_terms.clear()
+        self._has_nbytes = None  # re-probe the refreshed schema lazily
+        # re-derive the whole-file-task pin: the mutation may have grown
+        # max_postings_file_bytes past the pin taken at init
+        self._pin_split_size()
         avgdl_now = self.stats["avgdl"]
         last_ab: dict[int, float] = {}
         for r in read_manifest(self.index_dir):
@@ -893,18 +952,37 @@ class IndexReader:
             (int(x or 0) for x in top.column("nbytes").to_pylist()),
         ))
 
+    #: warm_worker_caches auto-skips at/above this shard count unless
+    #: force=True: every task slot redundantly reads the hot postings, so
+    #: on a big index the warm approaches a full extra scan per worker
+    #: (measured: 389 s at sf1 / 306 shards vs 28 s at sf0.1 / 32). The
+    #: lazy per-worker LRU (first query decodes, repeats hit cache) is
+    #: the default posture for large indexes.
+    WARM_WORKERS_MAX_SHARDS = 128
+
     def warm_worker_caches(self, n_terms: int = 8,
-                           budget_bytes: int = 192 << 20) -> int:
-        """Pre-decode the hottest terms' postings blocks into EVERY Spark
-        Python worker's decoded cache (the distributed analog of
-        warm_hot_terms, which warms only the driver process): one job
+                           budget_bytes: int = 192 << 20,
+                           force: bool = False) -> int:
+        """Best-effort pre-decode of the hottest terms' postings blocks
+        into Spark Python workers' decoded caches (the distributed analog
+        of warm_hot_terms, which warms only the driver process): one job
         with defaultParallelism single-row tasks, each running
-        _warm_worker_local in its worker. After executor (re)start, the
-        FIRST distributed hot-term query otherwise pays the full varint
-        decode per block; warmed workers skip it. On a cluster, each
-        executor's workers read the hot postings from shared storage the
-        same way. Budget is per worker. Returns min blocks warmed by any
-        task (0 => at least one worker warmed nothing)."""
+        _warm_worker_local in its worker. Spark REUSES Python workers
+        across tasks, so one task per parallelism slot does NOT guarantee
+        one task per live worker — some workers can stay cold and the
+        return value then overstates coverage; first queries on a cold
+        worker still pay the decode (latency-only, never correctness).
+        After executor (re)start this still removes the common-case
+        first-hot-query decode. Budget is per worker. Auto-skips (returns
+        0) when the index has >= WARM_WORKERS_MAX_SHARDS shards unless
+        force=True — at that size the warm costs a near-full extra scan
+        per worker and lazy LRU fill is the right default. Returns min
+        blocks warmed by any task (0 => at least one task warmed
+        nothing, or the gate skipped the warm)."""
+        if not force:
+            n_shards = int(self.stats.get("n_shards", 0))
+            if n_shards >= self.WARM_WORKERS_MAX_SHARDS:
+                return 0
         rows = self._top_terms(n_terms)
         if not rows:
             return 0
@@ -982,15 +1060,15 @@ class IndexReader:
         # headroom still thrashed the hot set and repeat hot queries fell
         # back to the distributed path), so give it as much room as the
         # warmed set itself
-        want_cap = max(
-            _DECODED_CACHE.max_bytes,
-            budget_bytes + max(512 << 20, budget_bytes),
-        )
-        if want_cap > _DECODED_CACHE.max_bytes:
-            if self._cache_cap_prior is None:
-                self._cache_cap_prior = _DECODED_CACHE.max_bytes
-            _DECODED_CACHE.max_bytes = want_cap
-            self._cache_cap_raised = want_cap
+        want_cap = budget_bytes + max(512 << 20, budget_bytes)
+        if not self._cache_cap_held:
+            _cache_cap_acquire(want_cap)
+            self._cache_cap_held = True
+        else:
+            # this reader already holds a share; just grow the cap
+            with _CACHE_CAP_LOCK:
+                if want_cap > _DECODED_CACHE.max_bytes:
+                    _DECODED_CACHE.max_bytes = want_cap
         if self._post_ds is None:
             self._post_ds = pads.dataset(
                 _postings_path(self.index_dir), format="parquet",

@@ -381,3 +381,43 @@ def test_streaming_maintenance(spark, tmp_path):
         want = [x[0] for x in oracle.search_bm25(qq, 10)]
         got = [x[0] for x in reader.search(qq, 10)]
         assert got == want, qq
+
+
+def test_refresh_snapshot_repins_split_size(spark, tmp_path):
+    """A long-lived reader whose index grew underneath it must re-derive
+    the whole-file split pin on snapshot refresh: append/update grow
+    max_postings_file_bytes monotonically, and a postings file larger
+    than the init-time pin would split across scan tasks, breaking the
+    per-shard grouping the shuffle-free scorer relies on (partial BM25
+    sums). The refresh must also re-probe the term_stats schema."""
+    import math as _math
+
+    from indexer_spark.query import _parse_bytes
+
+    a, b = _batches(spark)
+    d = str(tmp_path / "repin")
+    build_index(spark, spark.createDataFrame(a), d, BuildConfig(**CFG))
+    r = IndexReader(spark, d)
+    try:
+        assert r._need_bytes is not None and r._whole_file_tasks
+        append_index(spark, spark.createDataFrame(b), d, BuildConfig(**CFG))
+        r._refresh_snapshot()
+        new_max = int(read_stats(d)["max_postings_file_bytes"])
+        assert r._need_bytes == new_max + 1
+        assert r._has_nbytes is None  # schema re-probed lazily
+        # the session conf covers the refreshed pin
+        cur = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        assert cur is not None and cur >= r._need_bytes
+        # post-refresh distributed scoring matches the oracle on the
+        # grown snapshot
+        oracle = _oracle_for(a, b)
+        for q in ["the alpha", "conversation turn"]:
+            want = oracle.search_bm25(q, 10)
+            got = r.search(q, 10)
+            assert [x[0] for x in got] == [x[0] for x in want], q
+            for g, w in zip(got, want):
+                assert _math.isclose(g[1], w[1], rel_tol=1e-9)
+    finally:
+        r.close()

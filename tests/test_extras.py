@@ -87,6 +87,18 @@ def test_simhash_near_duplicates(docs_df):
     assert (0, 1) in pairs
 
 
+def test_simhash_block_cap(spark):
+    """Chunk-key blocks above max_block_size are dropped before the
+    self-join (the Zipf-at-scale quadratic guard); a cap above the block
+    size leaves results untouched."""
+    rows = [(i, "same words every time") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_near_duplicates(df, max_block_size=10)
+    assert capped.count() == 0  # every block is 30 docs > cap
+    full = dedup.simhash_near_duplicates(df, max_block_size=1000)
+    assert full.count() == 30 * 29 // 2  # all identical -> all pairs
+
+
 def test_char_shingles(spark):
     df = spark.createDataFrame([(0, "abcdef")], "doc_id long, text string")
     out = [r["term"] for r in dedup.char_shingles(df, n=3).collect()]

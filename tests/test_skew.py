@@ -64,13 +64,16 @@ def test_warm_cache_cap_restored_on_close(spark, built_index):
     """warm_hot_terms raises the process-global decoded-cache cap;
     close() must undo the raise so one reader's warm budget isn't a
     sticky mutation on every later reader in the process."""
+    import indexer_spark.query as Q
     from indexer_spark.query import _DECODED_CACHE
 
     index_dir, _ = built_index
     orig = _DECODED_CACHE.max_bytes
-    # pin a small baseline: an earlier test's reader may have left the
-    # process cap raised already (that stickiness is exactly what close()
-    # fixes for readers that DO close)
+    orig_refs, orig_orig = Q._CACHE_CAP_REFS, Q._CACHE_CAP_ORIG
+    # hermetic module state: an earlier test's reader that warmed without
+    # closing legitimately still holds a refcount share (the cap SHOULD
+    # stay raised for it); this test is about the only-holder case
+    Q._CACHE_CAP_REFS, Q._CACHE_CAP_ORIG = 0, None
     _DECODED_CACHE.max_bytes = prior = 128 << 20
     r = IndexReader(spark, index_dir)
     try:
@@ -86,6 +89,7 @@ def test_warm_cache_cap_restored_on_close(spark, built_index):
         assert _DECODED_CACHE.max_bytes == prior
     finally:
         _DECODED_CACHE.max_bytes = orig
+        Q._CACHE_CAP_REFS, Q._CACHE_CAP_ORIG = orig_refs, orig_orig
 
 
 def test_cached_terms_bookkeeping_bounded(spark, built_index):
@@ -100,5 +104,59 @@ def test_cached_terms_bookkeeping_bounded(spark, built_index):
         assert len(r._cached_terms) <= 2
         # repeat query after bookkeeping eviction: identical results
         assert r.search("run dog fox lazy", 10) == want
+    finally:
+        r.close()
+
+
+def test_warm_cache_cap_interleaved_readers(spark, built_index):
+    """Interleaved reader lifecycles: A warms, B warms higher, A closes
+    (must be a no-op while B still holds a share), B closes -> the cap
+    returns to the TRUE pre-warm value, never an intermediate raise."""
+    import indexer_spark.query as Q
+
+    index_dir, _ = built_index
+    orig_cap = Q._DECODED_CACHE.max_bytes
+    orig_refs, orig_orig = Q._CACHE_CAP_REFS, Q._CACHE_CAP_ORIG
+    Q._CACHE_CAP_REFS, Q._CACHE_CAP_ORIG = 0, None
+    Q._DECODED_CACHE.max_bytes = prior = 64 << 20
+    try:
+        a = IndexReader(spark, index_dir)
+        b = IndexReader(spark, index_dir)
+        a.warm_hot_terms(2, budget_bytes=1 << 20)
+        cap_after_a = Q._DECODED_CACHE.max_bytes
+        assert cap_after_a > prior
+        b.warm_hot_terms(4, budget_bytes=64 << 20)
+        cap_after_b = Q._DECODED_CACHE.max_bytes
+        assert cap_after_b >= cap_after_a
+        a.close()
+        # B still holds a share: A's close must not shrink the cap
+        assert Q._DECODED_CACHE.max_bytes == cap_after_b
+        b.close()
+        assert Q._DECODED_CACHE.max_bytes == prior
+    finally:
+        Q._DECODED_CACHE.max_bytes = orig_cap
+        Q._CACHE_CAP_REFS, Q._CACHE_CAP_ORIG = orig_refs, orig_orig
+
+
+def test_warm_worker_caches_scale_gate(spark, built_index):
+    """warm_worker_caches auto-skips on big indexes (its cost approaches
+    a full extra scan per worker at hundreds of shards — measured 389 s
+    at 306 shards); force=True overrides for deployments that want it."""
+    index_dir, _ = built_index
+    r = IndexReader(spark, index_dir)
+    try:
+        calls = []
+        orig_top = r._top_terms
+
+        def spy(n):
+            calls.append(n)
+            return orig_top(n)
+
+        r._top_terms = spy
+        r.stats = dict(r.stats, n_shards=r.WARM_WORKERS_MAX_SHARDS)
+        assert r.warm_worker_caches(2) == 0
+        assert not calls  # gate short-circuited before any work
+        assert r.warm_worker_caches(2, force=True) >= 0
+        assert calls  # force ran the warm for real
     finally:
         r.close()
