@@ -273,6 +273,82 @@ def _aggregate_scores_and(id_chunks, score_chunks, n_required: int):
     return hit + lo, acc[hit]
 
 
+# per-shard driver aggregation goes thread-parallel past this many total
+# postings (below it, pool startup costs more than it saves); threads
+# default to 4 — numpy's scatter/nonzero kernels release the GIL enough
+# for ~3x there, and MORE threads regress on memory-bus contention
+# (measured on 306x63k-posting shards: seq 0.99 s, 4T 0.31 s, 16T 0.71 s)
+_SHARDED_MIN_POSTINGS = 500_000
+
+
+def _score_threads() -> int:
+    try:
+        return max(1, int(os.environ.get("INDEXER_SPARK_SCORE_THREADS", "4")))
+    except (TypeError, ValueError):
+        return 4
+
+
+def _resolve_score_chunks(scc: list) -> list:
+    """Score chunks may arrive as (weight, array) pairs — the weight
+    multiply then happens HERE, inside the per-shard worker thread,
+    instead of serially in the collection loop (75M-element multiplies
+    for a 5-hot-term query at 20M docs cost ~0.18 s single-threaded).
+    int arrays promote to float64 in the multiply, exactly as the
+    explicit astype did."""
+    return [c[0] * c[1] if isinstance(c, tuple) else c for c in scc]
+
+
+def _aggregate_scores_sharded(chunks_by_shard: dict, k: int,
+                              require_all: int = 0):
+    """Driver-path aggregation grouped by shard: each shard's chunks
+    (in sorted-term order) aggregate independently — shards PARTITION
+    the doc_id space, so every doc's contribution order is unchanged and
+    sums stay bit-identical to the flat path — then each shard narrows
+    to its >=kth-score candidates (a global top-k doc is necessarily a
+    shard top-k doc; >= keeps boundary ties so the doc_id-asc tiebreak
+    stays exact downstream in _topk_merge).
+
+    Two wins over one flat span accumulator at large index sizes:
+    shard-sized accumulators are cache-resident (65Ki docs x 8 B vs a
+    160 MB span for a 20M-doc index), and shards run on a small thread
+    pool. Measured at 20M docs / 5 hot terms (96M postings): 1.15 s ->
+    ~0.35 s steady. Small queries (< _SHARDED_MIN_POSTINGS) run the
+    flat sequential path unchanged."""
+    shards = sorted(chunks_by_shard)
+    n_total = sum(
+        c.size for idc, _ in chunks_by_shard.values() for c in idc
+    )
+
+    def agg(idc, scc):
+        scc = _resolve_score_chunks(scc)
+        if require_all:
+            return _aggregate_scores_and(idc, scc, require_all)
+        return _aggregate_scores(idc, scc)
+
+    if len(shards) <= 1 or n_total < _SHARDED_MIN_POSTINGS:
+        flat_ids = [c for sh in shards for c in chunks_by_shard[sh][0]]
+        flat_sc = [c for sh in shards for c in chunks_by_shard[sh][1]]
+        return agg(flat_ids, flat_sc)
+
+    def work(sh):
+        idc, scc = chunks_by_shard[sh]
+        ids, sums = agg(idc, scc)
+        if sums.size > k:
+            kth = np.partition(sums, -k)[-k]
+            m = sums >= kth
+            ids, sums = ids[m], sums[m]
+        return ids, sums
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(_score_threads()) as ex:
+        res = list(ex.map(work, shards))
+    return (
+        np.concatenate([r[0] for r in res]),
+        np.concatenate([r[1] for r in res]),
+    )
+
+
 def _make_exhaustive_scorer(
     weights: dict[str, float], k1, b, avgdl, k, kind, epoch: tuple | None = None,
     require_all: int = 0,
@@ -1126,7 +1202,7 @@ class IndexReader:
         if any(t not in self._cached_terms for t in present):
             return None
         slot = -2 if kind == "bm25" else -1
-        id_chunks, sc_chunks = [], []
+        by_shard: dict[int, tuple[list, list]] = {}
         for t in sorted(present):  # sorted-term order pins float order
             w = weights[t]
             for sh, df, ln in sorted(self._cached_terms[t]):
@@ -1134,20 +1210,16 @@ class IndexReader:
                 if hit is None:
                     return None  # evicted: take the read path
                 if kind == "bm25":
-                    d, normpart = hit
-                    sc_chunks.append(w * normpart)
+                    d, arr = hit
                 else:
-                    d, tf, _dl = hit
-                    sc_chunks.append(w * tf.astype(np.float64))
-                id_chunks.append(d)
-        if require_all:
-            uids, sums = _aggregate_scores_and(
-                id_chunks, sc_chunks, require_all
-            )
-        else:
-            # P8's exact-zero drop (tree.rs:456-459) is already enforced
-            # here: _aggregate_scores never emits zero sums
-            uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+                    d, arr, _dl = hit
+                idc, scc = by_shard.setdefault(sh, ([], []))
+                idc.append(d)
+                # (w, arr) pair: multiplied inside the per-shard worker
+                scc.append((w, arr))
+        # P8's exact-zero drop (tree.rs:456-459) is enforced inside the
+        # aggregation: it never emits zero sums
+        uids, sums = _aggregate_scores_sharded(by_shard, k, require_all)
         uids, sums = _topk_merge(uids, sums, k)
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
@@ -1181,7 +1253,7 @@ class IndexReader:
                     if hit is None:
                         chunks = None  # evicted -> treat as uncovered
                         break
-                    chunks.append(hit)
+                    chunks.append((int(sh), hit))
             if chunks is None:
                 uncovered.append(t)
             else:
@@ -1205,13 +1277,14 @@ class IndexReader:
             by_term.setdefault(row.term, []).append(row)
         st = self.stats
         k1, b_, avgdl = st["k1"], st["b"], st["avgdl"]
-        id_chunks, sc_chunks = [], []
+        by_shard: dict[int, tuple[list, list]] = {}
         for t in sorted(present):  # sorted-term order pins float order
             w = idf[t]
             if t in covered:
-                for d, normpart in covered[t]:
-                    id_chunks.append(d)
-                    sc_chunks.append(w * normpart)
+                for sh, (d, normpart) in covered[t]:
+                    idc, scc = by_shard.setdefault(sh, ([], []))
+                    idc.append(d)
+                    scc.append((w, normpart))
                 continue
             for row in by_term.get(t, ()):
                 base = (self._epoch, int(row.shard), t, int(row.df),
@@ -1225,15 +1298,12 @@ class IndexReader:
                     _DECODED_CACHE.put(base + (-2,), (d, normpart))
                     hit = (d, normpart)
                 d, normpart = hit
-                id_chunks.append(d)
-                sc_chunks.append(w * normpart)
+                idc, scc = by_shard.setdefault(int(row.shard), ([], []))
+                idc.append(d)
+                scc.append((w, normpart))
                 self._record_cached(
                     t, (int(row.shard), int(row.df), len(row.docs)))
-        if require_all:
-            uids, sums = _aggregate_scores_and(
-                id_chunks, sc_chunks, require_all)
-        else:
-            uids, sums = _aggregate_scores(id_chunks, sc_chunks)
+        uids, sums = _aggregate_scores_sharded(by_shard, k, require_all)
         uids, sums = _topk_merge(uids, sums, k)
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]

@@ -620,3 +620,118 @@ def test_update_invalidates_decoded_cache(spark, tmp_path):
     # and the updated doc is findable under its new token
     hit = r2.search("completelydifferent", 5)
     assert [h[0] for h in hit] == [top["doc_id"]]
+
+
+def test_sharded_aggregation_bit_identity():
+    """_aggregate_scores_sharded must produce byte-identical sums to the
+    flat aggregation: shards partition the doc_id space so per-doc
+    addition order is unchanged, and per-shard >=kth narrowing keeps
+    every global top-k candidate incl. boundary ties."""
+    import numpy as np
+
+    import indexer_spark.query as Q
+
+    rng = np.random.default_rng(3)
+    span = 1000
+    by_shard = {}
+    flat_ids, flat_sc = [], []
+    for sh in range(6):
+        idc, scc = [], []
+        for _t in range(3):  # 3 "terms" per shard, term-ordered
+            n = int(rng.integers(10, 400))
+            ids = np.sort(rng.choice(span, n, replace=False)) + sh * span
+            sc = rng.random(n)
+            # duplicate some scores to create boundary ties
+            sc[: n // 4] = 0.5
+            idc.append(ids.astype(np.int64))
+            scc.append(sc)
+        by_shard[sh] = (idc, scc)
+        flat_ids.extend(idc)
+        flat_sc.extend(scc)
+    want_ids, want_sums = Q._aggregate_scores(flat_ids, flat_sc)
+    want = dict(zip(want_ids.tolist(), want_sums.tolist()))
+    for k in (5, 50):
+        # force BOTH branches: threaded (min=0) and flat fallback
+        orig = Q._SHARDED_MIN_POSTINGS
+        try:
+            for min_postings in (0, 10**9):
+                Q._SHARDED_MIN_POSTINGS = min_postings
+                gids, gsums = Q._aggregate_scores_sharded(by_shard, k)
+                got = dict(zip(gids.tolist(), gsums.tolist()))
+                # every candidate's sum is exactly the flat sum
+                for d, s in got.items():
+                    assert want[d] == s  # bit-identical, no isclose
+                # top-k through _topk_merge identical on both inputs
+                wi, ws = Q._topk_merge(want_ids, want_sums, k)
+                gi, gs = Q._topk_merge(gids, gsums, k)
+                assert wi.tolist() == gi.tolist()
+                assert ws.tolist() == gs.tolist()
+        finally:
+            Q._SHARDED_MIN_POSTINGS = orig
+
+
+def test_sharded_aggregation_and_mode_identity():
+    """AND-mode sharded aggregation: same bit-identity + membership
+    filtering as the flat conjunctive accumulator."""
+    import numpy as np
+
+    import indexer_spark.query as Q
+
+    rng = np.random.default_rng(7)
+    span = 500
+    by_shard = {}
+    flat_ids, flat_sc = [], []
+    for sh in range(4):
+        idc, scc = [], []
+        for _t in range(2):
+            n = int(rng.integers(50, 300))
+            ids = np.sort(rng.choice(span, n, replace=False)) + sh * span
+            idc.append(ids.astype(np.int64))
+            scc.append(rng.random(n))
+        by_shard[sh] = (idc, scc)
+        flat_ids.extend(idc)
+        flat_sc.extend(scc)
+    want_ids, want_sums = Q._aggregate_scores_and(flat_ids, flat_sc, 2)
+    want = dict(zip(want_ids.tolist(), want_sums.tolist()))
+    orig = Q._SHARDED_MIN_POSTINGS
+    try:
+        Q._SHARDED_MIN_POSTINGS = 0
+        gids, gsums = Q._aggregate_scores_sharded(by_shard, 10, require_all=2)
+        got = dict(zip(gids.tolist(), gsums.tolist()))
+        for d, s in got.items():
+            assert want[d] == s
+        wi, ws = Q._topk_merge(want_ids, want_sums, 10)
+        gi, gs = Q._topk_merge(gids, gsums, 10)
+        assert wi.tolist() == gi.tolist() and ws.tolist() == gs.tolist()
+    finally:
+        Q._SHARDED_MIN_POSTINGS = orig
+
+
+def test_fast_paths_sharded_threaded_identity(spark, built_index, oracle_index):
+    """End-to-end: with the sharded threshold forced to 0 (every driver
+    fast-path query takes the threaded per-shard branch), warm + repeat
+    searches stay rank- and score-identical to the oracle."""
+    import math
+
+    import indexer_spark.query as Q
+    from indexer_spark.query import IndexReader
+
+    index_dir, _ = built_index
+    r = IndexReader(spark, index_dir)
+    orig = Q._SHARDED_MIN_POSTINGS
+    try:
+        Q._SHARDED_MIN_POSTINGS = 0
+        r.warm_hot_terms(4)
+        for q in ["run dog", "don't", "the dog fox"]:
+            want = oracle_index.search_bm25(q, 10)
+            for _rep in (0, 1):  # hybrid pass then all-cached pass
+                got = r.search(q, 10)
+                assert [x[0] for x in got] == [x[0] for x in want], q
+                for g, w in zip(got, want):
+                    assert math.isclose(g[1], w[1], rel_tol=1e-9)
+            wt = oracle_index.search_tfidf(q, 10)
+            gt = r.search_tfidf(q, 10)
+            assert [x[0] for x in gt] == [x[0] for x in wt], q
+    finally:
+        Q._SHARDED_MIN_POSTINGS = orig
+        r.close()

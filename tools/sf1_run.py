@@ -75,22 +75,39 @@ def main():
     spark = get_spark(cores=cpus, shuffle_partitions=cpus,
                       driver_memory="48g", app_name="indexer_spark_sf1")
     corpus = tempfile.mkdtemp(prefix="sf1_corpus_")
-    index_dir = tempfile.mkdtemp(prefix="sf1_index_")
+    # fixed index path: a crashed/re-run session reuses the built index
+    # instead of paying the ~6 min build again (SPARK_GRAFT_SF1_FRESH=1
+    # forces a rebuild); the dir is kept on exit for the same reason
+    index_dir = os.environ.get("SPARK_GRAFT_SF1_INDEX",
+                               "/tmp/sf1_index_r05")
+    reuse = False
+    if os.environ.get("SPARK_GRAFT_SF1_FRESH") == "1":
+        shutil.rmtree(index_dir, ignore_errors=True)
     try:
-        t0 = time.time()
-        transcripts_spark(spark, n_turns, seed=42).write.mode(
-            "overwrite").parquet(corpus)
-        t["synth_sec"] = round(time.time() - t0, 1)
-        print(f"synth: {t['synth_sec']}s", file=sys.stderr, flush=True)
-        warm_workers(spark)
-        sdf = spark.read.parquet(corpus)
+        stats = read_stats(index_dir)
+        reuse = stats.get("n_docs") == n_turns
+    except Exception:
+        pass
+    try:
+        if not reuse:
+            t0 = time.time()
+            transcripts_spark(spark, n_turns, seed=42).write.mode(
+                "overwrite").parquet(corpus)
+            t["synth_sec"] = round(time.time() - t0, 1)
+            print(f"synth: {t['synth_sec']}s", file=sys.stderr, flush=True)
+            warm_workers(spark)
+            sdf = spark.read.parquet(corpus)
 
-        cfg = BuildConfig(block_size=128, shard_docs=1 << 16,
-                          shard_map_json_max=128)
-        t0 = time.time()
-        stats = build_index(spark, sdf, index_dir, cfg)
-        t["build_sec"] = round(time.time() - t0, 1)
-        t["turns_per_sec"] = round(n_turns / t["build_sec"], 1)
+            cfg = BuildConfig(block_size=128, shard_docs=1 << 16,
+                              shard_map_json_max=128)
+            t0 = time.time()
+            stats = build_index(spark, sdf, index_dir, cfg)
+            t["build_sec"] = round(time.time() - t0, 1)
+            t["turns_per_sec"] = round(n_turns / t["build_sec"], 1)
+        else:
+            print("reusing existing sf1 index", file=sys.stderr, flush=True)
+            t["build_sec"] = None
+            t["reused_index"] = True
         t["n_shards"] = stats["n_shards"]
         with open(os.path.join(index_dir, "stats.json")) as f:
             t["shard_map_mode"] = json.load(f).get("shard_map", "json")
@@ -106,21 +123,28 @@ def main():
         reader.search(queries[0], 10)
         t["bm25_cold_sec"] = round(time.time() - t0, 3)
         t0 = time.time()
-        reader.warm_hot_terms(16)
+        t["warm_hot_terms"] = reader.warm_hot_terms(16)
         t["warm_hot_sec"] = round(time.time() - t0, 3)
+        t["warm_cap_mb"] = os.environ.get("INDEXER_SPARK_WARM_CAP_MB")
         t0 = time.time()
-        reader.warm_worker_caches(8)
+        # gated by default at this shard count (306 >= 128): records the
+        # new scale-safe posture — lazy per-worker LRU fill, no 389 s
+        # pre-scan (round-4 measured cost at 306 shards)
+        t["warm_workers_blocks"] = reader.warm_worker_caches(8)
         t["warm_workers_sec"] = round(time.time() - t0, 3)
         for label in ("warm", "steady"):
             lat = []
+            fast = 0
             for q in queries:
                 t0 = time.time()
                 reader.search(q, 10)
                 lat.append(time.time() - t0)
+                fast += reader.last_path == "fast"
             lat.sort()
             t[f"bm25_{label}_p50"] = round(lat[len(lat) // 2], 3)
             t[f"bm25_{label}_p95"] = round(
                 lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
+            t[f"bm25_{label}_fast_paths"] = f"{fast}/{len(lat)}"
         t0 = time.time()
         reader.search_tfidf(queries[2], 10)
         t["tfidf_sec"] = round(time.time() - t0, 3)
@@ -133,13 +157,15 @@ def main():
         out = {"metric": "sf1_build_plus_queryset", "sf": 1.0, **t}
         line = json.dumps(out)
         print(line, flush=True)
-        raw = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "..", "BENCH", "raw", "sf1_local32.json")
+        raw = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "BENCH",
+            "raw", os.environ.get("SPARK_GRAFT_SF1_OUT", "sf1_local32.json"),
+        )
         os.makedirs(os.path.dirname(raw), exist_ok=True)
         with open(raw, "w") as f:
             f.write(line + "\n")
     finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
+        # index_dir is kept for re-runs (see above); corpus is not
         shutil.rmtree(corpus, ignore_errors=True)
         spark.stop()
 
