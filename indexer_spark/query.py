@@ -1089,15 +1089,23 @@ class IndexReader:
         return int(out[0]["n"]) if out else 0
 
     def warm_hot_terms(self, n_terms: int = 16,
-                       budget_bytes: int | None = None) -> int:
+                       budget_bytes: int | None = None,
+                       raw: bool = False) -> int:
         """Pre-decode the largest posting lists into the decoded-postings
         cache (driver side), ranked by term_stats ``nbytes``. A query
         service calls this at startup so the FIRST query for a hot term
         doesn't pay its decode; together with _fast_from_cache, repeat
         queries over warmed terms then never touch parquet at all.
 
-        Only the compact BM25 normpart form is stored (16 bytes/posting
-        vs 24 raw — and decoded lists run ~13x their compressed size, so
+        ``raw=True`` additionally stores each warmed list's raw decoded
+        (-1) tuple (doc_ids, tfs, dls — 24 B/posting, counted against
+        the same budget), which the TF-IDF fast/hybrid paths need
+        (their contribution is w*tf, not the BM25 normalization): a
+        service that serves tfidf traffic warms with raw=True so repeat
+        tfidf hot queries stay off the distributed plan too.
+
+        By default only the compact BM25 normpart form is stored (16
+        bytes/posting vs 24 raw — and decoded lists run ~13x their compressed size, so
         the budget counts ACTUAL stored bytes; budgeting by compressed
         nbytes silently thrashes the LRU). The driver-process cache cap
         is raised to hold the warmed set plus query headroom; worker
@@ -1126,8 +1134,9 @@ class IndexReader:
                 ) << 20
             except (TypeError, ValueError):
                 ceiling = 2048 << 20
+            per_posting = 40 if raw else 16  # -2 (16 B) + optional -1 (24 B)
             budget_bytes = min(
-                sum(16 * int(df) for _, df, _ in rows), ceiling
+                sum(per_posting * int(df) for _, df, _ in rows), ceiling
             )
         # headroom above the warmed set so query-time entries (tfidf raw
         # decodes, unwarmed mid-size terms) don't evict warmed ones: the
@@ -1152,12 +1161,14 @@ class IndexReader:
             )
         st = self.stats
         warmed, spent = 0, 0
+        proj = 40 if raw else 16  # bytes/posting across the stored slots
         for t, df, nb in rows:
             # projected stored size is exact: the -2 entry is one int64
-            # id + one float64 normpart per posting = 16 bytes x df.
-            # Checked BEFORE decoding so the budget can't overshoot by a
-            # full hot term (the first term always warms).
-            if warmed and spent + 16 * int(df) > budget_bytes:
+            # id + one float64 normpart per posting = 16 bytes x df
+            # (+ 24 B for the raw -1 tuple when raw=True). Checked
+            # BEFORE decoding so the budget can't overshoot by a full
+            # hot term (the first term always warms).
+            if warmed and spent + proj * int(df) > budget_bytes:
                 break
             self._df_cache[t] = int(df)
             self._nbytes_cache[t] = int(nb or 0)
@@ -1173,13 +1184,19 @@ class IndexReader:
                 ptbl.column("dls").to_pylist(),
             ):
                 base = (self._epoch, int(sh), t, int(df_r), len(docs))
-                if _DECODED_CACHE.get(base + (-2,)) is None:
+                need_norm = _DECODED_CACHE.get(base + (-2,)) is None
+                need_raw = raw and _DECODED_CACHE.get(base + (-1,)) is None
+                if need_norm or need_raw:
                     d, tfv, dl = decode_postings(docs, tfs, dls, int(df_r))
-                    normpart = _bm25_normpart(
-                        tfv.astype(np.float64), dl,
-                        st["k1"], st["b"], st["avgdl"])
-                    _DECODED_CACHE.put(base + (-2,), (d, normpart))
-                    spent += d.nbytes + normpart.nbytes
+                    if need_norm:
+                        normpart = _bm25_normpart(
+                            tfv.astype(np.float64), dl,
+                            st["k1"], st["b"], st["avgdl"])
+                        _DECODED_CACHE.put(base + (-2,), (d, normpart))
+                        spent += d.nbytes + normpart.nbytes
+                    if need_raw:
+                        _DECODED_CACHE.put(base + (-1,), (d, tfv, dl))
+                        spent += d.nbytes + tfv.nbytes + dl.nbytes
                 self._record_cached(t, (int(sh), int(df_r), len(docs)))
             warmed += 1
         return warmed
@@ -1224,10 +1241,11 @@ class IndexReader:
         self.last_path = "fast"
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
 
-    def _fast_hybrid(self, present: list[str], idf: dict[str, float],
-                     k: int, require_all: int = 0) -> list | None:
-        """Partial-coverage driver path (BM25): score cache-covered terms
-        from the decoded LRU and read ONLY the uncovered terms' rows from
+    def _fast_hybrid(self, present: list[str], weights: dict[str, float],
+                     k: int, require_all: int = 0,
+                     kind: str = "bm25") -> list | None:
+        """Partial-coverage driver path: score cache-covered terms from
+        the decoded LRU and read ONLY the uncovered terms' rows from
         parquet, gating ``fast_path_bytes`` on the UNCOVERED payload
         alone. This serves the common service shape where a query mixes
         warmed hot terms with mid-frequency ones: the full payload may
@@ -1237,9 +1255,13 @@ class IndexReader:
         3 terms' payload alone fit the driver budget). Decoded rows are
         cached and recorded, so the NEXT repeat takes the pure
         _fast_from_cache path. Same per-row arithmetic and sorted-term
-        chunk order as the exhaustive scorer — results bit-identical."""
+        chunk order as the exhaustive scorer — results bit-identical.
+        kind='bm25' works over the compact normpart (-2) entries;
+        kind='tfidf' over the raw decoded (-1) tuples (contribution
+        w*tf needs the raw tf, not the BM25 normalization)."""
         if self.fast_path_bytes <= 0 or not self._has_nbytes:
             return None
+        slot = -2 if kind == "bm25" else -1
         covered: dict[str, list] = {}
         uncovered: list[str] = []
         for t in present:
@@ -1249,7 +1271,7 @@ class IndexReader:
                 chunks = []
                 for sh, df, ln in sorted(rows):
                     hit = _DECODED_CACHE.get(
-                        (self._epoch, sh, t, df, ln, -2))
+                        (self._epoch, sh, t, df, ln, slot))
                     if hit is None:
                         chunks = None  # evicted -> treat as uncovered
                         break
@@ -1279,28 +1301,30 @@ class IndexReader:
         k1, b_, avgdl = st["k1"], st["b"], st["avgdl"]
         by_shard: dict[int, tuple[list, list]] = {}
         for t in sorted(present):  # sorted-term order pins float order
-            w = idf[t]
+            w = weights[t]
             if t in covered:
-                for sh, (d, normpart) in covered[t]:
+                for sh, hit in covered[t]:
                     idc, scc = by_shard.setdefault(sh, ([], []))
-                    idc.append(d)
-                    scc.append((w, normpart))
+                    idc.append(hit[0])
+                    scc.append((w, hit[1]))  # normpart (bm25) or tf
                 continue
             for row in by_term.get(t, ()):
                 base = (self._epoch, int(row.shard), t, int(row.df),
                         len(row.docs))
-                hit = _DECODED_CACHE.get(base + (-2,))
+                hit = _DECODED_CACHE.get(base + (slot,))
                 if hit is None:
                     d, tfv, dl = decode_postings(
                         row.docs, row.tfs, row.dls, int(row.df))
-                    normpart = _bm25_normpart(
-                        tfv.astype(np.float64), dl, k1, b_, avgdl)
-                    _DECODED_CACHE.put(base + (-2,), (d, normpart))
-                    hit = (d, normpart)
-                d, normpart = hit
+                    if kind == "bm25":
+                        normpart = _bm25_normpart(
+                            tfv.astype(np.float64), dl, k1, b_, avgdl)
+                        hit = (d, normpart)
+                    else:
+                        hit = (d, tfv, dl)
+                    _DECODED_CACHE.put(base + (slot,), hit)
                 idc, scc = by_shard.setdefault(int(row.shard), ([], []))
-                idc.append(d)
-                scc.append((w, normpart))
+                idc.append(hit[0])
+                scc.append((w, hit[1]))
                 self._record_cached(
                     t, (int(row.shard), int(row.df), len(row.docs)))
         uids, sums = _aggregate_scores_sharded(by_shard, k, require_all)
@@ -1502,6 +1526,13 @@ class IndexReader:
         # postings are still cache-resident scores without touching
         # parquet (the tfidf twin of the bm25 all-cached shortcut)
         hit = self._fast_from_cache(present, weights, kk, kind="tfidf")
+        if hit is not None:
+            return hit
+        # partial coverage: warmed/previously-decoded raw lists from the
+        # LRU + a pyarrow read of only the uncovered remainder (the
+        # tfidf twin of the bm25 hybrid; at 20M turns a repeat tfidf on
+        # a hot term otherwise pays the distributed plan every time)
+        hit = self._fast_hybrid(present, weights, kk, kind="tfidf")
         if hit is not None:
             return hit
         scorer = _make_exhaustive_scorer(

@@ -735,3 +735,29 @@ def test_fast_paths_sharded_threaded_identity(spark, built_index, oracle_index):
     finally:
         Q._SHARDED_MIN_POSTINGS = orig
         r.close()
+
+
+def test_tfidf_hybrid_raw_warm_identity(spark, built_index, oracle_index):
+    """warm_hot_terms(raw=True) also stores raw (-1) tuples, so a tfidf
+    query mixing a warmed hot term with unwarmed ones takes the hybrid
+    driver path (kind='tfidf') with oracle-identical results; the repeat
+    serves all-cached."""
+    import math
+
+    from indexer_spark.query import IndexReader
+
+    index_dir, _ = built_index
+    r = IndexReader(spark, index_dir)
+    try:
+        assert r.warm_hot_terms(4, raw=True) == 4
+        hot = r._top_terms(1)[0][0]  # a warmed (stemmed) term
+        for q in [f"{hot} zebra", f"{hot} dog run"]:
+            want = oracle_index.search_tfidf(q, 10)
+            for _rep in (0, 1):
+                got = r.search_tfidf(q, 10)
+                assert r.last_path == "fast", q
+                assert [x[0] for x in got] == [x[0] for x in want], q
+                for g, w in zip(got, want):
+                    assert math.isclose(g[1], w[1], rel_tol=1e-9)
+    finally:
+        r.close()

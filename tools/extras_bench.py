@@ -205,7 +205,12 @@ def main():
             f"/{t['jaccard_verify']}s")
 
         # ---- candidate growth: n/10 control --------------------------
-        small = docs.filter(F.col("doc_id") % 20 < 2)  # keeps pair structure
+        # keep blocks of 20 CONSECUTIVE ids: each block holds 10 id
+        # pairs of which exactly 1 is planted, so the sample preserves
+        # the full corpus's near-dup DENSITY (1/20 of docs in a planted
+        # pair), not just its pairs — a %20<2 filter would keep every
+        # planted pair and no fillers, making growth look flat
+        small = docs.filter(F.col("doc_id") % 200 < 20)
         n_small = small.count()
         t0 = time.time()
         n_cand_small = dedup.lsh_candidate_pairs(
