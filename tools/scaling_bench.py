@@ -110,8 +110,14 @@ def main():
             raw_dir = os.path.join(os.path.dirname(__file__), "..",
                                    "BENCH", "raw")
             os.makedirs(raw_dir, exist_ok=True)
+            # campaigns on the SAME corpus size in different rounds need
+            # distinct raw names or the resume logic would silently reuse
+            # the previous round's reps as this campaign's measurements
+            prefix = os.environ.get(
+                "SPARK_GRAFT_SCALE_RAW_PREFIX", f"scaling_{n_turns}"
+            )
             raw_path = os.path.join(
-                raw_dir, f"scaling_{n_turns}_l{cpus}_rep{rep}.json"
+                raw_dir, f"{prefix}_l{cpus}_rep{rep}.json"
             )
             if os.path.exists(raw_path):
                 # resume: a crashed campaign re-run skips completed reps

@@ -50,7 +50,7 @@ def _client(port: int, queries: list, out: list, want: dict, idx: int):
             body = json.loads(r.read())
         lat.append(time.perf_counter() - t0)
         got = [(x["conv_id"], x["turn_idx"], round(x["score"], 9))
-               for x in body]
+               for x in body["hits"]]
         if got != want[q]:
             mismatches += 1
     out[idx] = (lat, mismatches)
@@ -108,7 +108,7 @@ def main():
             with urllib.request.urlopen(url, timeout=120) as r:
                 body = json.loads(r.read())
             want[q] = [(x["conv_id"], x["turn_idx"], round(x["score"], 9))
-                       for x in body]
+                       for x in body["hits"]]
 
         levels = {}
         total_mismatch = 0
