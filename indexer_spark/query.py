@@ -123,6 +123,11 @@ class _DecodedLRU:
         self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._bytes = 0
         self.max_bytes = max_bytes
+        # warmed hot-set entries are PINNED (refcounted by reader):
+        # eviction skips them, so a burst of large unwarmed decodes can
+        # never silently evict the hot set a service paid to warm —
+        # steady-state hot latency stays bounded regardless of query mix
+        self._pins: dict[tuple, int] = {}
         # the threaded query server shares one reader across request
         # threads; individual dict ops are GIL-atomic but the
         # move_to_end/evict sequences are not, so guard them
@@ -141,9 +146,41 @@ class _DecodedLRU:
                 return
             self._d[key] = arrays
             self._bytes += sum(a.nbytes for a in arrays)
-            while self._bytes > self.max_bytes and self._d:
-                _, old = self._d.popitem(last=False)
+            # evict oldest-first, skipping pinned entries (a skipped pin
+            # is moved to the MRU end so the scan terminates); if the
+            # overflow is entirely pinned mass the cache may exceed the
+            # cap — warm budget sizing bounds that by construction
+            n_scan = len(self._d)
+            while self._bytes > self.max_bytes and n_scan > 0:
+                k = next(iter(self._d))
+                n_scan -= 1
+                if k in self._pins:
+                    self._d.move_to_end(k)
+                    continue
+                old = self._d.pop(k)
                 self._bytes -= sum(a.nbytes for a in old)
+
+    def pin(self, key) -> bool:
+        """Take one pin share on a RESIDENT entry (False if absent —
+        pinning a missing key is meaningless). Refcounted: a key pinned
+        by two readers stays pinned until both unpin."""
+        with self._lock:
+            if key not in self._d:
+                return False
+            self._pins[key] = self._pins.get(key, 0) + 1
+            return True
+
+    def unpin(self, keys) -> None:
+        """Drop one pin share per key (a reader unpins on close)."""
+        with self._lock:
+            for k in keys:
+                n = self._pins.get(k)
+                if n is None:
+                    continue
+                if n <= 1:
+                    del self._pins[k]
+                else:
+                    self._pins[k] = n - 1
 
 
 _DECODED_CACHE = _DecodedLRU()
@@ -787,6 +824,9 @@ class IndexReader:
         # the raise is refcounted at module level (see _cache_cap_acquire)
         # so the LAST closing reader restores the genuine pre-raise cap
         self._cache_cap_held = False
+        # decoded-cache keys this reader pinned via warm_hot_terms;
+        # unpinned (refcount-decremented) on close()
+        self._pinned_keys: set[tuple] = set()
         # shuffle-free scoring requires whole-file scan tasks: pin the
         # split size above the largest committed postings file (recorded
         # at build time). If the conf cannot be raised, queries fall
@@ -864,6 +904,9 @@ class IndexReader:
             except Exception:
                 pass
         self._conf_priors = {}
+        if self._pinned_keys:
+            _DECODED_CACHE.unpin(self._pinned_keys)
+            self._pinned_keys = set()
         if self._cache_cap_held:
             _cache_cap_release()
             self._cache_cap_held = False
@@ -888,6 +931,12 @@ class IndexReader:
         consistent new snapshot instead of silently mixing two."""
         self.stats = read_stats(self.index_dir)
         self._epoch = (self.index_dir, int(self.stats.get("epoch", 0)))
+        # superseded-epoch pins would hold dead entries in the cache
+        # forever; unpin them (re-warm after refresh re-pins the new set)
+        stale = {k for k in self._pinned_keys if k[0] != self._epoch}
+        if stale:
+            _DECODED_CACHE.unpin(stale)
+            self._pinned_keys -= stale
         self._df_cache.clear()
         self._nbytes_cache.clear()
         self._cached_terms.clear()
@@ -1197,6 +1246,14 @@ class IndexReader:
                     if need_raw:
                         _DECODED_CACHE.put(base + (-1,), (d, tfv, dl))
                         spent += d.nbytes + tfv.nbytes + dl.nbytes
+                # pin the warmed entries: a burst of large unwarmed
+                # decodes must never evict the hot set the service paid
+                # to warm (refcounted; this reader unpins on close)
+                for slot_key in ([base + (-2,)]
+                                 + ([base + (-1,)] if raw else [])):
+                    if (slot_key not in self._pinned_keys
+                            and _DECODED_CACHE.pin(slot_key)):
+                        self._pinned_keys.add(slot_key)
                 self._record_cached(t, (int(sh), int(df_r), len(docs)))
             warmed += 1
         return warmed

@@ -761,3 +761,41 @@ def test_tfidf_hybrid_raw_warm_identity(spark, built_index, oracle_index):
                     assert math.isclose(g[1], w[1], rel_tol=1e-9)
     finally:
         r.close()
+
+
+def test_warm_pinned_hot_set_survives_eviction_pressure(spark, built_index):
+    """warm_hot_terms pins the warmed entries: flooding the decoded LRU
+    past its cap evicts unpinned entries but never the warmed hot set
+    (steady hot latency stays bounded regardless of query mix); close()
+    drops this reader's pin shares."""
+    import numpy as np
+
+    from indexer_spark import query as Q
+
+    index_dir, _ = built_index
+    pre_counts = dict(Q._DECODED_CACHE._pins)  # other readers' shares
+    r = Q.IndexReader(spark, index_dir)
+    try:
+        assert r.warm_hot_terms(4, raw=True) == 4
+        pinned = set(r._pinned_keys)
+        assert pinned
+        cap = Q._DECODED_CACHE.max_bytes
+        filler = np.zeros(1 << 16, dtype=np.int64)  # 512 KiB each
+        n_fill = int(cap // filler.nbytes) + 8
+        for i in range(n_fill):
+            Q._DECODED_CACHE.put(("flood", i), (filler,))
+        # every pinned entry survived the flood...
+        for k in pinned:
+            assert Q._DECODED_CACHE.get(k) is not None, k
+        # ...and early flood entries were evicted in their place
+        assert Q._DECODED_CACHE.get(("flood", 0)) is None
+        # the warmed term still serves from cache
+        hot = r._top_terms(1)[0][0]
+        assert r.search(hot, 10)
+        assert r.last_path == "fast"
+    finally:
+        r.close()
+    # close() released exactly this reader's shares (refcounts back to
+    # their pre-test values; keys other readers never pinned are gone)
+    for k in pinned:
+        assert Q._DECODED_CACHE._pins.get(k, 0) == pre_counts.get(k, 0)

@@ -148,6 +148,25 @@ def main():
         t0 = time.time()
         reader.search_tfidf(queries[2], 10)
         t["tfidf_sec"] = round(time.time() - t0, 3)
+        # tfidf fast-path validation at 20M (round 5): raw=True warming
+        # stores the raw decoded tuples the tfidf hybrid/all-cached
+        # paths serve from; warm + steady sweeps mirror the bm25 ones
+        t0 = time.time()
+        t["warm_raw_terms"] = reader.warm_hot_terms(16, raw=True)
+        t["warm_raw_sec"] = round(time.time() - t0, 3)
+        for label in ("warm", "steady"):
+            lat = []
+            fast = 0
+            for q in queries:
+                t0 = time.time()
+                reader.search_tfidf(q, 10)
+                lat.append(time.time() - t0)
+                fast += reader.last_path == "fast"
+            lat.sort()
+            t[f"tfidf_{label}_p50"] = round(lat[len(lat) // 2], 3)
+            t[f"tfidf_{label}_p95"] = round(
+                lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
+            t[f"tfidf_{label}_fast_paths"] = f"{fast}/{len(lat)}"
         # AND mode at scale
         t0 = time.time()
         reader.search(queries[2], 10, mode="and")
