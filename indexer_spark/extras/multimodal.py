@@ -4,9 +4,10 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 The Spark-side machinery (schemas, partitioning by kind, UDF signatures,
 batch shapes, byte budgets) is real and tested. The codec step is real
 for all three modalities via `media_decoder`: images (pure-numpy PPM
-P6/P3 + uncompressed 24/32-bit BMP), audio (pure-numpy RIFF/PCM WAV),
-and video (the RVID container: length-prefixed PPM frames with
-frame-accurate lazy seeks). COMPRESSED formats (JPEG/PNG, FLAC/OGG,
+P6/P3 + uncompressed 24/32-bit BMP + COMPRESSED PNG via stdlib zlib),
+audio (pure-numpy RIFF/PCM WAV), and video (the RVID container:
+length-prefixed PPM frames with frame-accurate lazy seeks). Remaining
+compressed formats (JPEG/WebP, FLAC/OGG,
 H.264/...) decode through import-guarded OPTIONAL public libraries —
 Pillow, soundfile, PyAV — when installed (none are present in this
 container, so those branches are exercised by skip-marked tests);
@@ -23,6 +24,8 @@ search reads vectors without touching payloads.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -53,8 +56,8 @@ def deterministic_fake_decoder(payload: bytes, kind: str) -> np.ndarray:
 def strict_decoder(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
         f"real {kind} decode for this payload requires a codec library "
-        "that is not installed: media_decoder handles PPM/BMP images, "
-        "RIFF/PCM WAV audio and RVID video with pure numpy, and decodes "
+        "that is not installed: media_decoder handles PPM/BMP/PNG images, "
+        "RIFF/PCM WAV audio and RVID video with pure numpy/zlib, and decodes "
         "compressed formats through the import-guarded optional deps "
         "Pillow (images), soundfile (audio) and PyAV (video) when those "
         "public libraries are present — install them to make this error "
@@ -156,13 +159,160 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return (px[::-1] if bottom_up else px).copy()
 
 
+# --------------------------------------------------------------------------
+# real COMPRESSED image codec: PNG (W3C spec / RFC 2083) via stdlib zlib —
+# no external library. 8-bit greyscale (0), truecolor (2), grey+alpha (4)
+# and RGBA (6), all five scanline filters, multi-IDAT, CRC-checked.
+# JPEG/WebP (non-DEFLATE codecs) remain the Pillow plug point.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+    return len(body).to_bytes(4, "big") + tag + body + crc.to_bytes(4, "big")
+
+
+def _png_filter_row(ft: int, cur: np.ndarray, prev: np.ndarray,
+                    bpp: int) -> np.ndarray:
+    """Forward-filter one ORIGINAL scanline (encoder side; all five types
+    vectorize because left/up neighbours are original, not reconstructed)."""
+    c = cur.astype(np.int64)
+    left = np.concatenate([np.zeros(bpp, np.int64), c[:-bpp]])
+    up = prev.astype(np.int64)
+    upleft = np.concatenate([np.zeros(bpp, np.int64), up[:-bpp]])
+    if ft == 0:
+        out = c
+    elif ft == 1:
+        out = c - left
+    elif ft == 2:
+        out = c - up
+    elif ft == 3:
+        out = c - (left + up) // 2
+    elif ft == 4:
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, upleft))
+        out = c - pred
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """(h, w) or (h, w, {1,2,3,4}) uint8 -> PNG bytes (8-bit, no
+    interlace). ``filter_type`` applies one filter to every scanline
+    (0=None default; 1-4 exercise the decoder's unfilter paths)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ct, 0, 0, 0]))
+    flat = a.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        lines.append(bytes([filter_type]))
+        lines.append(_png_filter_row(filter_type, flat[y], prev, ch).tobytes())
+        prev = flat[y]
+    idat = zlib.compress(b"".join(lines), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB, stdlib zlib only. Walks the chunk list
+    (CRC-checked, unknown ancillary chunks skipped, IDAT concatenated),
+    inflates, unfilters all five scanline types, maps grey->replicate /
+    alpha->dropped. 8-bit non-interlaced, no palette (those payloads get
+    a ValueError so callers can fall through to the optional Pillow path)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        crc = int.from_bytes(payload[i + 8 + ln : i + 12 + ln], "big")
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ct not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ct}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG inflated size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = np.cumsum(cur.reshape(w, ch), axis=0).reshape(stride)
+        elif ft == 2:
+            rec = cur + prev
+        elif ft in (3, 4):  # left neighbour is reconstructed -> sequential
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = prev[x]
+                if ft == 3:
+                    # mask as we go: the average/Paeth predictors are
+                    # non-linear, so neighbours must already be mod-256
+                    rec[x] = (cur[x] + (left + up) // 2) & 0xFF
+                else:
+                    upleft = prev[x - ch] if x >= ch else 0
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = (left if pa <= pb and pa <= pc
+                            else up if pb <= pc else upleft)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        rec &= 0xFF
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ct == 0:
+        return np.repeat(px, 3, axis=2)
+    if ct == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch -> (h, w, 3) uint8 RGB."""
     if payload[:2] in (b"P6", b"P3"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise ValueError("unrecognized image payload (PPM/BMP supported)")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unrecognized image payload (PPM/BMP/PNG supported)")
 
 
 def image_features(arr: np.ndarray) -> np.ndarray:
@@ -349,7 +499,7 @@ def video_features(payload: bytes, max_samples: int = 4) -> np.ndarray:
 
 
 def _optional_image_decode(payload: bytes) -> np.ndarray | None:
-    """Compressed-image decode (JPEG/PNG/WebP/...) via Pillow WHEN
+    """Compressed-image decode (JPEG/WebP/palette-or-16-bit PNG/...) via Pillow WHEN
     INSTALLED — import-guarded optional dependency (public library, not
     present in every deployment). Returns (h, w, 3) uint8, or None when
     Pillow is absent (callers fall through to strict_decoder)."""
@@ -412,9 +562,10 @@ def _optional_video_features(payload: bytes,
 
 
 def media_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """REAL decoder for image (PPM/BMP), audio (RIFF/PCM WAV) and video
-    (RVID container) kinds, pure numpy end to end. Compressed formats
-    (JPEG/PNG, FLAC/OGG, H.264/...) decode through import-guarded
+    """REAL decoder for image (PPM/BMP + compressed PNG via stdlib
+    zlib), audio (RIFF/PCM WAV) and video (RVID container) kinds, no
+    external library end to end. Remaining compressed formats
+    (JPEG/WebP, FLAC/OGG, H.264/...) decode through import-guarded
     OPTIONAL public libraries (Pillow / soundfile / PyAV) when present;
     without them they fall through to strict_decoder's documented
     NotImplementedError — strict_decoder is unreachable when the
@@ -444,7 +595,7 @@ def media_decoder(payload: bytes, kind: str) -> np.ndarray:
 
 def synth_image_assets(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic REAL image assets: random pixels encoded as PPM-P6 /
-    PPM-P3 / BMP round-robin, with true width/height metadata."""
+    PPM-P3 / BMP / PNG round-robin, with true width/height metadata."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -452,7 +603,7 @@ def synth_image_assets(n: int, seed: int = 42) -> pd.DataFrame:
         w = int(rng.integers(1, 24))
         arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         enc = (encode_ppm, lambda a: encode_ppm(a, ascii_mode=True),
-               encode_bmp)[i % 3]
+               encode_bmp, encode_png)[i % 4]
         rows.append({
             "asset_id": i, "kind": "image", "payload": enc(arr),
             "width": w, "height": h, "sample_rate": None, "n_frames": None,

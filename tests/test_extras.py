@@ -301,19 +301,61 @@ def test_image_codec_roundtrip():
     p = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
     assert multimodal.decode_ppm(p).shape == (2, 3, 3)
     with pytest.raises(ValueError):
-        multimodal.decode_image_bytes(b"\x89PNG....")
+        multimodal.decode_image_bytes(b"\x89PNG....")  # truncated signature
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Compressed PNG via stdlib zlib: every scanline filter type (0-4)
+    and every 8-bit color type round-trips bit-exactly."""
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 3), (7, 8), (2, 16)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            enc = multimodal.encode_png(arr, filter_type=ft)
+            assert enc[:8] == multimodal._PNG_SIG
+            assert np.array_equal(multimodal.decode_png(enc), arr)
+    # PNG actually compresses: a flat image deflates far below raw size
+    flat = np.full((32, 32, 3), 7, dtype=np.uint8)
+    assert len(multimodal.encode_png(flat)) < 32 * 32 * 3 // 4
+    # greyscale (ct 0) -> replicated channels; RGBA (ct 6) -> alpha dropped;
+    # grey+alpha (ct 4) -> grey replicated
+    g = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_png(multimodal.encode_png(g)),
+        np.repeat(g[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_png(multimodal.encode_png(rgba, filter_type=4)),
+        rgba[:, :, :3])
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_png(multimodal.encode_png(ga, filter_type=3)),
+        np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_png_codec_rejects_corruption():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    enc = bytearray(multimodal.encode_png(arr))
+    enc[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(enc))
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"BM" + bytes(30))
+    # dispatch: decode_image_bytes routes real PNG bytes to decode_png
+    good = multimodal.encode_png(np.full((2, 3, 3), 9, np.uint8))
+    assert multimodal.decode_image_bytes(good).shape == (2, 3, 3)
 
 
 def test_image_decoder_real_features(spark):
-    """The REAL decode path: PPM/BMP bytes -> pixels -> features inside
-    the Spark pipeline, identical to a driver-side recompute."""
+    """The REAL decode path: PPM/BMP/PNG bytes -> pixels -> features
+    inside the Spark pipeline, identical to a driver-side recompute."""
     pdf = multimodal.synth_image_assets(24, seed=9)
     df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
     feats = multimodal.extract_features(
         df, decoder=multimodal.image_decoder).collect()
     assert len(feats) == 24
     by_id = {r["asset_id"]: np.array(r["feature"]) for r in feats}
-    for i in (0, 1, 2):  # one of each encoding (P6, P3, BMP)
+    for i in (0, 1, 2, 3):  # one of each encoding (P6, P3, BMP, PNG)
         arr = multimodal.decode_image_bytes(bytes(pdf["payload"].iloc[i]))
         assert arr.shape == (pdf["height"].iloc[i], pdf["width"].iloc[i], 3)
         assert np.allclose(by_id[i], multimodal.image_features(arr))
