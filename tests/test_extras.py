@@ -389,16 +389,86 @@ def test_wav_codec_roundtrip():
         multimodal.decode_wav(b"OggS....")
 
 
+def test_g711_codec_identity_and_snr():
+    """ITU-T G.711 companding: exact identity on the 256-code decode
+    lattice (A-law everywhere; mu-law everywhere but 0x7F, the spec's
+    negative-zero code that collapses onto positive zero), and textbook
+    ~38 dB SNR on a full-scale sine."""
+    codes = np.arange(256, dtype=np.uint8)
+    a_rt = multimodal.encode_alaw(multimodal.decode_alaw(codes))
+    assert np.array_equal(a_rt, codes)
+    u_rt = multimodal.encode_ulaw(multimodal.decode_ulaw(codes))
+    keep = codes != 0x7F
+    assert np.array_equal(u_rt[keep], codes[keep])
+    assert multimodal.decode_ulaw(np.array([0x7F]))[0] == 0
+    t = np.arange(8000) / 8000.0
+    x = (0.8 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    for enc, dec in [(multimodal.encode_ulaw, multimodal.decode_ulaw),
+                     (multimodal.encode_alaw, multimodal.decode_alaw)]:
+        y = dec(enc(x)).astype(np.float64)
+        snr = 10 * np.log10((x.astype(np.float64) ** 2).mean()
+                            / ((y - x) ** 2).mean())
+        assert snr > 35.0, snr
+
+
+def test_ima_adpcm_roundtrip():
+    """IMA/DVI ADPCM: 4:1 compression, first sample of every block held
+    verbatim, fact-count trims final-block padding, SNR > 20 dB."""
+    rng = np.random.default_rng(13)
+    t = np.arange(3000) / 8000.0
+    x = (20000 * np.sin(2 * np.pi * 300 * t)
+         + 2000 * rng.standard_normal(3000)).astype(np.int16)
+    data = multimodal.encode_ima_adpcm(x, block_size=256)
+    spb = (256 - 4) * 2 + 1  # 505 samples/block
+    assert len(data) == 256 * ((len(x) + spb - 1) // spb)
+    y = multimodal.decode_ima_adpcm(data, 256, n_samples=len(x))
+    assert y.shape == (len(x),) and y.dtype == np.int16
+    assert y[0] == x[0] and y[spb] == x[spb]  # block headers verbatim
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).mean()
+                        / ((y.astype(np.float64) - x) ** 2).mean())
+    assert snr > 20.0, snr
+    with pytest.raises(ValueError):
+        multimodal.encode_ima_adpcm(x, block_size=6)
+
+
+def test_wav_compressed_container():
+    """WAV format tags 6/7/0x11 decode through decode_wav with the right
+    shapes/rates; unknown tags still raise (soundfile fall-through)."""
+    t = np.arange(2000) / 16000.0
+    x = (15000 * np.sin(2 * np.pi * 500 * t)).astype(np.int16)
+    for codec, max_rms in [("ulaw", 0.01), ("alaw", 0.01), ("adpcm", 0.03)]:
+        dec, rate = multimodal.decode_wav(
+            multimodal.encode_wav(x, 16000, codec=codec))
+        assert rate == 16000 and dec.shape == (len(x), 1), codec
+        rms = np.sqrt(((dec[:, 0] - x / 32768.0) ** 2).mean())
+        assert rms < max_rms, (codec, rms)
+    stereo = np.stack([x, x // 3], axis=1)
+    dec, _ = multimodal.decode_wav(
+        multimodal.encode_wav(stereo, 8000, codec="alaw"))
+    assert dec.shape == (len(x), 2)
+    assert np.abs(dec[:, 1] * 3 - dec[:, 0]).mean() < 0.02
+    with pytest.raises(ValueError, match="mono"):
+        multimodal.encode_wav(stereo, 8000, codec="adpcm")
+    # unknown compressed tag (e.g. MPEG layer 3 = 0x55) raises
+    bad_fmt = ((0x55).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little") + (1000).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + (0).to_bytes(2, "little"))
+    payload = multimodal._wav_container(bad_fmt, b"\x00" * 64, 64)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        multimodal.decode_wav(payload)
+
+
 def test_audio_decoder_real_features(spark):
-    """The REAL audio path: WAV bytes -> samples -> features inside the
-    Spark pipeline, identical to a driver-side recompute."""
+    """The REAL audio path: WAV bytes (PCM + G.711 + ADPCM round-robin)
+    -> samples -> features inside the Spark pipeline, identical to a
+    driver-side recompute."""
     pdf = multimodal.synth_audio_assets(15, seed=4)
     df = spark.createDataFrame(pdf, schema=multimodal.ASSET_SCHEMA)
     feats = multimodal.extract_features(
         df, decoder=multimodal.media_decoder).collect()
     assert len(feats) == 15
     by_id = {r["asset_id"]: np.array(r["feature"]) for r in feats}
-    for i in (0, 1, 2, 5):  # 8-bit, 16-bit stereo, 16-bit mono variants
+    for i in (0, 1, 2, 3, 4, 5):  # pcm mono/stereo, ulaw, alaw, adpcm
         samples, rate = multimodal.decode_wav(bytes(pdf["payload"].iloc[i]))
         assert rate == pdf["sample_rate"].iloc[i]
         assert np.allclose(by_id[i], multimodal.audio_features(samples, rate))
