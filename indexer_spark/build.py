@@ -61,7 +61,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .lexer import term_counts
+from .compress import encode_positions
+from .lexer import term_counts, term_occurrences
 
 # terms = "\n"-joined tokens (tokens never contain whitespace, so "\n" is
 # a safe delimiter); tfs = packed little-endian int32 bytes. Flat strings /
@@ -75,12 +76,25 @@ TOK_SCHEMA = (
     "doc_len int, terms string, tfs binary"
 )
 
+# positional variant (BuildConfig.positions): two extra binary columns —
+# poss = per-term delta-varint position lists concatenated in terms order,
+# poss_lens = int32 byte length of each term's blob (the builder's split
+# boundaries). Parquet column pruning means non-positional readers never
+# touch them.
+TOK_SCHEMA_POS = TOK_SCHEMA + ", poss binary, poss_lens binary"
+
 POSTINGS_SCHEMA = (
     "shard int, term string, df long, nbytes long, "
     "docs binary, tfs binary, dls binary, "
     "blocks array<struct<last_doc_id: long, max_tf: int, max_norm: double, "
     "doc_off: long, tf_off: long, dl_off: long>>"
 )
+
+# positional postings carry one extra payload column: the doc-ordered
+# concatenation of per-doc position blobs (lengths recoverable from tfs,
+# so no offset table is stored). Every non-phrase query path selects
+# explicit columns, so the column costs nothing unless a phrase asks.
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", poss binary"
 
 
 @dataclass
@@ -96,6 +110,9 @@ class BuildConfig:
     #                                 => term-predicate pruning within files
     shard_map_json_max: int = 4096  # above this many shards, offsets/counts
     #                                 live in a parquet shard_map table
+    positions: bool = False        # record term positions (phrase search);
+    #   adds a poss payload column to tok + postings — sticky for the
+    #   index lifetime (append/update read it back from stats.json)
     presorted_source: bool = False  # caller asserts every input partition
     #   is sorted by (conv_id, turn_idx) and partitions are range-disjoint
     #   (e.g. an Iceberg table with a conv_id sort order): the ids stage
@@ -361,7 +378,8 @@ def _write_stats(index_dir: str, stats: dict) -> None:
 # stage "ids": deterministic dense doc ids + tokenize -> forward index
 # --------------------------------------------------------------------------
 
-def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False):
+def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False,
+                    positions: bool = False):
     """mapInPandas fn: tokenize + assign LOCAL per-shard doc indices.
 
     Runs once per partition (iterator of Arrow batches); the partition's
@@ -411,9 +429,29 @@ def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False):
             doc_ids = local + np.arange(n, dtype=np.int64)
             local += n
             terms_col, tfs_col = [], []
+            poss_col, plens_col = [], []
             dls = np.zeros(n, dtype=np.int32)
             texts = pdf["text"].tolist()
             for i, text in enumerate(texts):
+                if positions:
+                    occ = term_occurrences(text)
+                    dls[i] = sum(len(v) for v in occ.values())
+                    terms_col.append("\n".join(occ.keys()))
+                    tfs_col.append(
+                        np.fromiter(
+                            (len(v) for v in occ.values()),
+                            dtype=np.int32, count=len(occ),
+                        ).tobytes()
+                    )
+                    blobs = [encode_positions(v) for v in occ.values()]
+                    poss_col.append(b"".join(blobs))
+                    plens_col.append(
+                        np.fromiter(
+                            (len(bl) for bl in blobs),
+                            dtype=np.int32, count=len(blobs),
+                        ).tobytes()
+                    )
+                    continue
                 counts = term_counts(text)
                 dls[i] = sum(counts.values())
                 terms_col.append("\n".join(counts.keys()))
@@ -422,18 +460,20 @@ def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False):
                         counts.values(), dtype=np.int32, count=len(counts)
                     ).tobytes()
                 )
-            yield pd.DataFrame(
-                {
-                    "local_idx": doc_ids,
-                    "shard": np.full(n, shard, dtype=np.int32),
-                    "conv_id": pdf["conv_id"].values,
-                    "turn_idx": pdf["turn_idx"].values,
-                    "role": pdf["role"].values,
-                    "doc_len": dls,
-                    "terms": terms_col,
-                    "tfs": tfs_col,
-                }
-            )
+            out = {
+                "local_idx": doc_ids,
+                "shard": np.full(n, shard, dtype=np.int32),
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "role": pdf["role"].values,
+                "doc_len": dls,
+                "terms": terms_col,
+                "tfs": tfs_col,
+            }
+            if positions:
+                out["poss"] = poss_col
+                out["poss_lens"] = plens_col
+            yield pd.DataFrame(out)
 
     return fn
 
@@ -479,8 +519,9 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     # are derived afterwards from per-shard counts (metadata-cheap scan
     # of the written files), not from a pre-count of a cached shuffle.
     tok = parted.mapInPandas(
-        _make_tokenizer(verify_sorted=cfg.presorted_source),
-        schema=TOK_SCHEMA,
+        _make_tokenizer(verify_sorted=cfg.presorted_source,
+                        positions=cfg.positions),
+        schema=TOK_SCHEMA_POS if cfg.positions else TOK_SCHEMA,
     )
     t1 = time.time()
     # static overwrite: this is always a fresh dir (build_index removes
@@ -548,6 +589,8 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
         "shard_map_json_max": int(cfg.shard_map_json_max),
         "shard_offsets": {str(s): o for s, o in offsets.items()},
         "shard_counts": {str(s): c for s, c in counts.items()},
+        # sticky: appends/updates keep writing positions iff the build did
+        "positions": bool(cfg.positions),
     }
     _write_stats(index_dir, stats)
     _append_manifest(
@@ -568,15 +611,18 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
 
 def _make_postings_builder(
     avgdl: float, k1: float, b: float, block_size: int,
-    offsets: dict[int, int],
+    offsets: dict[int, int], positions: bool = False,
 ):
     from .compress import encode_postings_batch
 
+    empty_cols = ["shard", "term", "df", "nbytes", "docs", "tfs", "dls",
+                  "blocks"]
+    if positions:
+        empty_cols = empty_cols + ["poss"]
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
-            )
+            return pd.DataFrame(columns=empty_cols)
         shard = int(pdf["shard"].iloc[0])
         # absolute doc_id baked into the postings: the query path never
         # sees the local/offset indirection
@@ -585,9 +631,7 @@ def _make_postings_builder(
         # group instead of per-row list handling (no Spark explode shuffle)
         pdf = pdf[pdf["terms"] != ""]
         if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"]
-            )
+            return pd.DataFrame(columns=empty_cols)
         terms_s = pdf["terms"].tolist()
         lens = np.fromiter(
             (s.count("\n") + 1 for s in terms_s), dtype=np.int64, count=len(terms_s)
@@ -612,6 +656,30 @@ def _make_postings_builder(
             doc_s, tf_s, dl_s, starts, avgdl,
             k1=k1, b=b, block_size=block_size,
         )
+        if positions:
+            # slice each doc row's concatenated per-term position blobs
+            # into per-(doc, term) entries (aligned with the explode
+            # order), re-order to (term, doc_id), then join per term —
+            # the per-doc delta chains stay intact, so the query side
+            # decodes a term's whole payload in one varint pass
+            entry_slices: list[bytes] = []
+            for blob, lens_b in zip(pdf["poss"].tolist(),
+                                    pdf["poss_lens"].tolist()):
+                mv = memoryview(blob)
+                off = 0
+                for ln in np.frombuffer(lens_b, dtype=np.int32):
+                    entry_slices.append(bytes(mv[off : off + ln]))
+                    off += ln
+            if len(entry_slices) != codes.size:
+                raise RuntimeError(
+                    f"positions misaligned in shard {shard}: "
+                    f"{len(entry_slices)} blobs vs {codes.size} postings"
+                )
+            poss_sorted = [entry_slices[j] for j in order]
+            poss_col = [
+                b"".join(poss_sorted[starts[g] : starts[g + 1]])
+                for g in range(starts.size - 1)
+            ]
         # per-term compressed payload bytes, known for free here — stored
         # so term_stats/metrics never re-read the payload columns (at
         # 10^12 scale that re-scan would be the whole index again)
@@ -621,47 +689,51 @@ def _make_postings_builder(
             dtype=np.int64, count=len(docs_col),
         )
         n_terms = starts.size - 1
-        out = pd.DataFrame(
-            {
-                "shard": np.full(n_terms, shard, dtype=np.int32),
-                "term": uniq[codes[starts[:-1]]],
-                "df": (starts[1:] - starts[:-1]).astype(np.int64),
-                "nbytes": nbytes,
-                "docs": docs_col,
-                "tfs": tfs_col,
-                "dls": dls_col,
-                "blocks": blocks_col,
-            }
-        )
+        out_d = {
+            "shard": np.full(n_terms, shard, dtype=np.int32),
+            "term": uniq[codes[starts[:-1]]],
+            "df": (starts[1:] - starts[:-1]).astype(np.int64),
+            "nbytes": nbytes,
+            "docs": docs_col,
+            "tfs": tfs_col,
+            "dls": dls_col,
+            "blocks": blocks_col,
+        }
+        if positions:
+            out_d["poss"] = poss_col
+        out = pd.DataFrame(out_d)
         # sentinel meta row FIRST (META_TERM sorts before all real terms,
         # preserving the term-sorted layout): per-(shard, task) metrics the
         # post-write bookkeeping reads back without re-aggregating the
         # table, plus the split-shard guard (>1 meta row per shard means a
         # shard's file was split across tasks)
-        meta = pd.DataFrame(
-            {
-                "shard": np.array([shard], dtype=np.int32),
-                "term": [META_TERM],
-                "df": np.array([int(doc_s.size)], dtype=np.int64),
-                "nbytes": np.array([int(nbytes.sum())], dtype=np.int64),
-                "docs": [json.dumps({
-                    "n_terms": int(n_terms),
-                    "n_postings": int(doc_s.size),
-                }).encode()],
-                "tfs": [b""],
-                "dls": [b""],
-                "blocks": [[]],
-            }
-        )
+        meta_d = {
+            "shard": np.array([shard], dtype=np.int32),
+            "term": [META_TERM],
+            "df": np.array([int(doc_s.size)], dtype=np.int64),
+            "nbytes": np.array([int(nbytes.sum())], dtype=np.int64),
+            "docs": [json.dumps({
+                "n_terms": int(n_terms),
+                "n_postings": int(doc_s.size),
+            }).encode()],
+            "tfs": [b""],
+            "dls": [b""],
+            "blocks": [[]],
+        }
+        if positions:
+            meta_d["poss"] = [b""]
+        meta = pd.DataFrame(meta_d)
         return pd.concat([meta, out], ignore_index=True)
 
     return fn
 
 
-def _make_streaming_builder(avgdl, k1, b, block_size, offsets):
+def _make_streaming_builder(avgdl, k1, b, block_size, offsets,
+                            positions: bool = False):
     """mapInPandas wrapper: accumulate a task's batches (whole shard
     files), then run the per-shard builder for each shard present."""
-    builder = _make_postings_builder(avgdl, k1, b, block_size, offsets)
+    builder = _make_postings_builder(avgdl, k1, b, block_size, offsets,
+                                     positions=positions)
 
     def fn(batches):
         acc = [pdf for pdf in batches if len(pdf)]
@@ -710,17 +782,22 @@ def _stage_postings(
         conf.set("spark.sql.files.maxPartitionBytes", str(256 << 20))
         conf.set("spark.sql.files.openCostInBytes", str(256 << 20))
         try:
+            positions = bool(stats.get("positions", cfg.positions))
+            tok_cols = ["shard", "local_idx", "doc_len", "terms", "tfs"]
+            if positions:
+                tok_cols += ["poss", "poss_lens"]
             src = (
                 spark.read.option("basePath", tok_root)
                 .parquet(*paths)
-                .select("shard", "local_idx", "doc_len", "terms", "tfs")
+                .select(*tok_cols)
             )
             offsets = {int(s): int(o) for s, o in stats["shard_offsets"].items()}
             built = src.mapInPandas(
                 _make_streaming_builder(
-                    stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, offsets
+                    stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, offsets,
+                    positions=positions,
                 ),
-                schema=POSTINGS_SCHEMA,
+                schema=POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA,
             )
             # builder emits term-sorted rows per shard; small row groups
             # turn parquet term stats into the reference's term
@@ -980,12 +1057,14 @@ def append_index(
 
     warm_workers(spark)
     stats = read_stats(index_dir)
-    if (cfg.block_size, cfg.k1, cfg.b) != (
-        stats["block_size"], stats["k1"], stats["b"]
+    if (cfg.block_size, cfg.k1, cfg.b, cfg.positions) != (
+        stats["block_size"], stats["k1"], stats["b"],
+        bool(stats.get("positions", False)),
     ):
         cfg = _dc_replace(
             cfg, block_size=int(stats["block_size"]),
             k1=float(stats["k1"]), b=float(stats["b"]),
+            positions=bool(stats.get("positions", False)),
         )
 
     intent = None
@@ -1048,7 +1127,8 @@ def append_index(
         .withColumn("pid", F.spark_partition_id())
     )
     tok = parted.mapInPandas(
-        _make_tokenizer(shard_base=base_shards), schema=TOK_SCHEMA
+        _make_tokenizer(shard_base=base_shards, positions=cfg.positions),
+        schema=TOK_SCHEMA_POS if cfg.positions else TOK_SCHEMA,
     )
     (
         tok.write.partitionBy("shard")
@@ -1173,12 +1253,14 @@ def update_index(
 
     warm_workers(spark)
     stats = read_stats(index_dir)
-    if (cfg.block_size, cfg.k1, cfg.b) != (
-        stats["block_size"], stats["k1"], stats["b"]
+    if (cfg.block_size, cfg.k1, cfg.b, cfg.positions) != (
+        stats["block_size"], stats["k1"], stats["b"],
+        bool(stats.get("positions", False)),
     ):
         cfg = _dc_replace(
             cfg, block_size=int(stats["block_size"]),
             k1=float(stats["k1"]), b=float(stats["b"]),
+            positions=bool(stats.get("positions", False)),
         )
     lineage = json.dumps(
         {"source": "transcripts", "batch": batch_label, **cfg.extra_lineage},
@@ -1232,7 +1314,13 @@ def update_index(
             .groupBy("shard").agg(F.sum("doc_len").alias("tl")).collect()
         }
 
+    pos_on = bool(cfg.positions)
+
     def retok(batches):
+        out_cols = [
+            "local_idx", "shard", "conv_id", "turn_idx", "role",
+            "doc_len", "terms", "tfs",
+        ] + (["poss", "poss_lens"] if pos_on else [])
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1240,7 +1328,22 @@ def update_index(
             if mask.any():
                 pdf = pdf.copy()
                 for i in np.nonzero(mask.to_numpy())[0]:
-                    counts = term_counts(pdf["_new_text"].iloc[int(i)])
+                    text = pdf["_new_text"].iloc[int(i)]
+                    if pos_on:
+                        occ = term_occurrences(text)
+                        counts = {t: len(v) for t, v in occ.items()}
+                        blobs = [encode_positions(v) for v in occ.values()]
+                        pdf.iloc[int(i), pdf.columns.get_loc("poss")] = (
+                            b"".join(blobs)
+                        )
+                        pdf.iloc[int(i), pdf.columns.get_loc("poss_lens")] = (
+                            np.fromiter(
+                                (len(bl) for bl in blobs),
+                                dtype=np.int32, count=len(blobs),
+                            ).tobytes()
+                        )
+                    else:
+                        counts = term_counts(text)
                     pdf.iloc[
                         int(i), pdf.columns.get_loc("doc_len")
                     ] = sum(counts.values())
@@ -1252,10 +1355,7 @@ def update_index(
                             counts.values(), dtype=np.int32, count=len(counts)
                         ).tobytes()
                     )
-            yield pdf[[
-                "local_idx", "shard", "conv_id", "turn_idx", "role",
-                "doc_len", "terms", "tfs",
-            ]]
+            yield pdf[out_cols]
 
     sub = (
         tok.filter(F.col("shard").isin(affected))
@@ -1266,7 +1366,8 @@ def update_index(
         .repartition(len(affected), "shard")
     )
     (
-        sub.mapInPandas(retok, schema=TOK_SCHEMA)
+        sub.mapInPandas(retok,
+                        schema=TOK_SCHEMA_POS if pos_on else TOK_SCHEMA)
         .write.partitionBy("shard")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

@@ -43,6 +43,7 @@ def cmd_build(args):
     cfg = BuildConfig(
         shard_docs=args.shard_docs,
         block_size=args.block_size,
+        positions=args.positions,
         extra_lineage={"input": args.input, "format": args.format},
     )
     t0 = time.time()
@@ -124,6 +125,8 @@ def main(argv=None):
     b.add_argument("--shard-docs", type=int, default=1 << 16)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="record term positions (enables --mode phrase)")
     b.add_argument("--format", choices=["parquet", "iceberg", "csv"],
                    default="parquet")
     b.set_defaults(fn=cmd_build)
@@ -142,7 +145,8 @@ def main(argv=None):
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["pruned", "exhaustive", "and"], default="pruned")
+    q.add_argument("--mode", choices=["pruned", "exhaustive", "and", "phrase"],
+                   default="pruned")
     q.add_argument("--tfidf", action="store_true")
     q.add_argument("--output", default=None,
                    help="also write the JSON result to this file")

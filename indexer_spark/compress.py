@@ -98,6 +98,41 @@ def varint_decode(buf: bytes, expect: int | None = None) -> np.ndarray:
     return out
 
 
+def encode_positions(positions: list[int] | np.ndarray) -> bytes:
+    """One doc's term positions (strictly increasing token indices) ->
+    delta varints: first value absolute, the rest gaps. Paired with the
+    tf already stored per posting, no length prefix is needed."""
+    a = np.asarray(positions, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    d = np.empty_like(a)
+    d[0] = a[0]
+    d[1:] = a[1:] - a[:-1]
+    if a.size > 1 and (d[1:] <= 0).any():
+        raise ValueError("positions must be strictly increasing")
+    return varint_encode(d)
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One (shard, term) positions payload -> (flat positions int64,
+    segment starts). The payload is the doc-ordered concatenation of
+    per-doc encode_positions blobs; each doc's list length is its tf, so
+    the whole payload decodes in ONE vectorized varint pass and the
+    per-doc delta chains resolve with a single global cumsum (subtract
+    each segment's incoming prefix)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    vals = varint_decode(blob, expect=total).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)))
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), starts
+    cs = np.cumsum(vals)
+    seg0 = starts[:-1]
+    base = cs[seg0] - vals[seg0]  # cumsum carried in from prior segments
+    pos = cs - np.repeat(base, tfs)
+    return pos, starts
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

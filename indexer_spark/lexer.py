@@ -111,6 +111,29 @@ def tokenize(text: str | None) -> list[str]:
     return out
 
 
+def term_occurrences(text: str | None) -> dict[str, list[int]]:
+    """term -> token positions for one document or query.
+
+    Positions index the RAW post-lex token stream: stop-word slots keep
+    their index but are never emitted, so a phrase query like "state of
+    the art" matches documents across the dropped "of the" gap exactly.
+    len(positions) == term_counts(text)[term] for every term (two raw
+    tokens that stem to the same final term merge their position lists,
+    in stream order)."""
+    raw = _raw_tokens(text)
+    occ: dict[str, list[int]] = {}
+    final = _final
+    for i, t in enumerate(raw):
+        f = final(t)
+        if f is not None:
+            lst = occ.get(f)
+            if lst is None:
+                occ[f] = [i]
+            else:
+                lst.append(i)
+    return occ
+
+
 def term_counts(text: str | None) -> dict[str, int]:
     """term -> tf for one document (reference add_doc, tree.rs:146-160).
 

@@ -30,7 +30,7 @@ import math
 from collections import Counter
 from collections.abc import Iterable
 
-from .lexer import term_counts, tokenize
+from .lexer import term_counts, term_occurrences, tokenize
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -42,9 +42,11 @@ class OracleIndex:
     def __init__(self, docs: Iterable[tuple[int, str | None]]):
         self.doc_len: dict[int, int] = {}
         self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.texts: dict[int, str | None] = {}  # for positional verify
         self.n_docs = 0  # Q1: counts empty-token docs too
         for doc_id, text in docs:
             self.n_docs += 1
+            self.texts[doc_id] = text
             counts = term_counts(text)
             self.doc_len[doc_id] = sum(counts.values())
             for term, tf in counts.items():
@@ -122,4 +124,35 @@ class OracleIndex:
             ((d, s) for d, s in scores.items() if hits[d] == need),
             key=lambda ds: (-ds[1], ds[0]),
         )
+        return results[:k] if k is not None else results
+
+    def phrase_match(self, text: str | None, query: str) -> bool:
+        """Naive positional check: does ``text`` contain the query terms
+        as a contiguous phrase? Positions index the raw post-lex token
+        stream (stop-word slots kept, never indexed), so dropped
+        stop-words leave exact-width gaps; repeated query terms must all
+        align. The independent (O(tokens^2)-ish, re-derives positions
+        from raw text) twin the phrase scorer is tested against."""
+        q_occ = term_occurrences(query)
+        if not q_occ:
+            return False
+        d_occ = term_occurrences(text)
+        pairs = [
+            (set(d_occ.get(t, ())), o) for t, offs in q_occ.items()
+            for o in offs
+        ]
+        t0, o0 = pairs[0]
+        return any(
+            all((p - o0 + o) in ps for ps, o in pairs[1:])
+            for p in t0
+        )
+
+    def search_bm25_phrase(self, query: str, k: int | None = 10) -> list[tuple[int, float]]:
+        """Positional phrase BM25: conjunctive survivors that also
+        contain the phrase contiguously; scoring identical to
+        search_bm25_and. Extension (no reference analog)."""
+        base = self.search_bm25_and(query, k=None)
+        results = [
+            (d, s) for d, s in base if self.phrase_match(self.texts[d], query)
+        ]
         return results[:k] if k is not None else results

@@ -41,8 +41,8 @@ from .build import (
     read_manifest,
     read_stats,
 )
-from .compress import decode_block_slice, decode_postings
-from .lexer import tokenize
+from .compress import decode_block_slice, decode_positions, decode_postings
+from .lexer import term_occurrences, tokenize
 
 _SCORE_SCHEMA = "doc_id long, score double"
 
@@ -579,6 +579,97 @@ def _make_and_scorer(
                 contrib[sel] = t["w"] * _bm25_normpart(
                     tfv, dl[pos], k1, b, avgdl)
             score += contrib
+        uids, sums = _topk_merge(cand, score, k)
+        return pd.DataFrame({"doc_id": uids, "score": sums})
+
+    return fn
+
+
+def _make_phrase_scorer(
+    idf: dict[str, float], k1, b, avgdl, k, qoffsets: dict,
+):
+    """Positional phrase scorer (requires an index built with
+    ``BuildConfig(positions=True)``; no reference analog — the reference
+    is OR-only, SURVEY §2.7).
+
+    ``qoffsets``: term -> int64 array of that term's offsets within the
+    query's raw token stream. Stop-word slots keep their offsets on both
+    sides, so "state of the art" matches documents across the dropped
+    "of the" gap exactly; a repeated query term contributes one offset
+    per occurrence and every one must align.
+
+    Shard-local like the AND scorer (doc-range sharding keeps a doc's
+    postings together): candidate docs come from the conjunction
+    (intersect ascending-df), then each candidate verifies positionally —
+    anchor occurrences of the rarest term shift to phrase-start
+    candidates and every other (term, offset) pair intersects them. Only
+    candidate docs' positions are ever touched after the single
+    vectorized per-term payload decode. Survivors score standard BM25
+    over the phrase terms (sorted-term addition order, same arithmetic
+    as every other mode)."""
+    n_required = len(qoffsets)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        if len(pdf) == 0 or pdf["term"].nunique() < n_required:
+            return empty
+        pdf = pdf.sort_values("term", kind="stable")
+        terms = []
+        for row in pdf.itertuples():
+            docs, tfs, dls = decode_postings(
+                row.docs, row.tfs, row.dls, int(row.df)
+            )
+            pos, pstarts = decode_positions(row.poss, tfs)
+            terms.append({
+                "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
+                "pos": pos, "pstarts": pstarts,
+                "w": idf[row.term],
+                "qoffs": qoffsets[row.term],
+            })
+        by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
+        cand = terms[by_df[0]]["docs"]
+        for ti in by_df[1:]:
+            if cand.size == 0:
+                return empty
+            cand = cand[np.isin(cand, terms[ti]["docs"], assume_unique=True)]
+        if cand.size == 0:
+            return empty
+
+        # positional verification per candidate; anchor = fewest postings
+        anchor = terms[by_df[0]]
+        a_off = int(anchor["qoffs"][0])
+        rest = [
+            (t, int(o))
+            for t in terms
+            for o in t["qoffs"]
+            if not (t is anchor and int(o) == a_off)
+        ]
+        keep = np.zeros(cand.size, dtype=bool)
+        for ci, d in enumerate(cand):
+            si = int(np.searchsorted(anchor["docs"], d))
+            s, e = anchor["pstarts"][si], anchor["pstarts"][si + 1]
+            starts_c = anchor["pos"][s:e] - a_off  # phrase-start candidates
+            for t, off in rest:
+                if starts_c.size == 0:
+                    break
+                si2 = int(np.searchsorted(t["docs"], d))
+                s2, e2 = t["pstarts"][si2], t["pstarts"][si2 + 1]
+                starts_c = starts_c[
+                    np.isin(starts_c + off, t["pos"][s2:e2],
+                            assume_unique=True)
+                ]
+            keep[ci] = starts_c.size > 0
+        cand = cand[keep]
+        if cand.size == 0:
+            return empty
+
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted-term order pins float addition order
+            pos_in = np.searchsorted(t["docs"], cand)
+            tfv = t["tfs"][pos_in].astype(np.float64)
+            score += t["w"] * _bm25_normpart(
+                tfv, t["dls"][pos_in], k1, b, avgdl
+            )
         uids, sums = _topk_merge(cand, score, k)
         return pd.DataFrame({"doc_id": uids, "score": sums})
 
@@ -1435,9 +1526,16 @@ class IndexReader:
         ]
 
     def _postings_for(self, terms: list[str]) -> DataFrame:
-        from .build import POSTINGS_SCHEMA
+        from .build import POSTINGS_SCHEMA, POSTINGS_SCHEMA_POS
 
-        base = self.spark.read.schema(POSTINGS_SCHEMA).parquet(
+        # positional indexes carry one extra payload column; reading with
+        # the wider schema costs nothing unless a phrase query selects it
+        # (parquet column pruning)
+        schema = (
+            POSTINGS_SCHEMA_POS if self.stats.get("positions")
+            else POSTINGS_SCHEMA
+        )
+        base = self.spark.read.schema(schema).parquet(
             _postings_path(self.index_dir)
         )
         return base.filter(F.col("term").isin(terms))
@@ -1452,11 +1550,19 @@ class IndexReader:
         mode 'pruned' | 'exhaustive' (disjunctive, reference-parity
         OR semantics) | 'and' (conjunctive: only docs containing ALL
         distinct query terms; BM25 scoring of survivors is unchanged —
-        an extension beyond the OR-only reference, SURVEY §2.7).
+        an extension beyond the OR-only reference, SURVEY §2.7) |
+        'phrase' (positional: only docs containing the query terms as a
+        contiguous phrase, stop-word gaps respected; needs an index
+        built with BuildConfig(positions=True)).
 
         Small matched postings sets take the driver fast path (see
         _fast_scored) regardless of mode — its scoring is
         result-identical to the distributed modes."""
+        if mode == "phrase":
+            df = self.search_df(query, k, mode)
+            if df is None:
+                return []
+            return [(r["doc_id"], r["score"]) for r in df.collect()]
         terms = sorted(set(tokenize(query)))
         if not terms:
             return []
@@ -1502,6 +1608,15 @@ class IndexReader:
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     def search_df(self, query: str, k: int = 10, mode: str = "pruned"):
+        if mode == "phrase" and not self.stats.get("positions"):
+            # checked before any early return: a caller pointing phrase
+            # queries at a position-less index should hear about it even
+            # when this particular query would come back empty
+            raise ValueError(
+                "phrase search needs an index built with "
+                "BuildConfig(positions=True); this index has no "
+                "positions payload"
+            )
         terms = sorted(set(tokenize(query)))
         if not terms:
             return None
@@ -1512,7 +1627,24 @@ class IndexReader:
         n = self.stats["n_docs"]
         idf = {t: _bm25_idf(n, dfs[t]) for t in present}
         st = self.stats
-        if mode == "and":
+        if mode == "phrase":
+            if not st.get("positions"):
+                raise ValueError(
+                    "phrase search needs an index built with "
+                    "BuildConfig(positions=True); this index has no "
+                    "positions payload"
+                )
+            if len(present) < len(terms):
+                return None  # a term absent from the corpus empties a phrase
+            qoffsets = {
+                t: np.asarray(v, dtype=np.int64)
+                for t, v in term_occurrences(query).items()
+            }
+            scorer = _make_phrase_scorer(
+                idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
+            )
+            cols = ["shard", "term", "df", "docs", "tfs", "dls", "poss"]
+        elif mode == "and":
             if len(present) < len(terms):
                 return None
             scorer = _make_and_scorer(

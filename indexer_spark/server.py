@@ -11,7 +11,8 @@ Endpoint parity with the reference:
                           is this engine's document identity
 Extras beyond the reference:
 - ``GET /search?q=...&k=10&mode=pruned&tfidf=0`` -> JSON results
-  (mode: pruned | exhaustive | and — conjunctive, all terms required)
+  (mode: pruned | exhaustive | and — conjunctive, all terms required |
+  phrase — contiguous positional match, positional indexes only)
 - ``GET /stats``       -> index stats JSON
 
 Serving path: IndexReader's driver fast path scores small matched sets
@@ -108,7 +109,7 @@ class QueryServer:
                             # indexing and return nearly the whole corpus
                             raise ValueError(f"k out of range: {k}")
                         mode = (qs.get("mode") or ["pruned"])[0]
-                        if mode not in ("pruned", "exhaustive", "and"):
+                        if mode not in ("pruned", "exhaustive", "and", "phrase"):
                             raise ValueError(f"bad mode {mode!r}")
                         tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
                     except ValueError as e:

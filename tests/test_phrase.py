@@ -1,0 +1,232 @@
+"""Positional postings + phrase search (BuildConfig(positions=True)).
+
+No reference analog (the reference is OR-only, SURVEY §2.7); the oracle
+twin re-derives positions from raw text per doc, independently of the
+index's delta-varint payload, so agreement checks the whole chain:
+lexer positions -> tok poss columns -> per-term payload concat ->
+vectorized decode -> shard-local verify -> BM25 scoring.
+"""
+
+import numpy as np
+import pytest
+
+from indexer_spark.build import BuildConfig, append_index, build_index, update_index
+from indexer_spark.compress import (
+    decode_positions,
+    encode_positions,
+    varint_decode,
+)
+from indexer_spark.lexer import term_counts, term_occurrences
+from indexer_spark.query import IndexReader
+
+
+def test_term_occurrences_matches_term_counts():
+    texts = [
+        "the state of the art is great",
+        "State THE art of great states!",
+        "café au lait, café crème ٣٤٥",
+        "", None, "the of is a an",  # stop-words only
+    ]
+    for t in texts:
+        occ = term_occurrences(t)
+        assert {k: len(v) for k, v in occ.items()} == term_counts(t)
+        for v in occ.values():
+            assert list(v) == sorted(set(v))  # strictly increasing
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    blobs, tfs, ref = [], [], []
+    for _ in range(200):
+        n = int(rng.integers(1, 30))
+        p = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+        blobs.append(encode_positions(p))
+        tfs.append(n)
+        ref.append(p)
+    pos, starts = decode_positions(b"".join(blobs), np.array(tfs))
+    for i in range(len(tfs)):
+        assert np.array_equal(pos[starts[i] : starts[i + 1]], ref[i])
+    with pytest.raises(ValueError):
+        encode_positions([5, 5, 7])
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus_pdf, tmp_path_factory):
+    """Positional index over the SAME shared corpus as built_index
+    (small shards force multi-shard verify)."""
+    index_dir = str(tmp_path_factory.mktemp("pos_index"))
+    sdf = spark.createDataFrame(corpus_pdf)
+    stats = build_index(
+        spark, sdf, index_dir,
+        BuildConfig(shard_docs=512, block_size=64, id_partitions=6,
+                    positions=True),
+    )
+    return index_dir, stats
+
+
+def _phrases_from_corpus(corpus_pdf, n=12, width=3, seed=7):
+    """Real phrases sliced out of documents (guaranteed matchable) plus
+    shuffled variants (usually not)."""
+    rng = np.random.default_rng(seed)
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    out = []
+    for i in rng.choice(len(pdf), size=n * 3, replace=False):
+        words = str(pdf["text"].iloc[int(i)] or "").split()
+        if len(words) < width + 1:
+            continue
+        s = int(rng.integers(0, len(words) - width))
+        out.append(" ".join(words[s : s + width]))
+        if len(out) >= n:
+            break
+    return out
+
+
+def test_phrase_positions_payload_parity(spark, pos_index, corpus_pdf):
+    """The stored poss payload decodes to exactly the lexer's positions
+    for every (term, doc) of a few sampled shards."""
+    index_dir, stats = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    expected = [term_occurrences(t) for t in pdf["text"].tolist()]
+    post = spark.read.parquet(index_dir + "/postings").filter(
+        "shard = 0 and not startswith(term, '\x00')"
+    ).collect()
+    assert len(post) > 50
+    for r in post:
+        tfs = varint_decode(bytes(r["tfs"]), expect=r["df"]).astype(np.int64)
+        gaps = varint_decode(bytes(r["docs"]), expect=r["df"]).astype(np.int64)
+        doc_ids = np.cumsum(gaps)
+        pos, starts = decode_positions(bytes(r["poss"]), tfs)
+        for i, d in enumerate(doc_ids):
+            assert list(pos[starts[i] : starts[i + 1]]) == \
+                expected[int(d)][r["term"]], (r["term"], int(d))
+
+
+def test_phrase_rank_identity_vs_oracle(spark, pos_index, corpus_pdf,
+                                        oracle_index):
+    index_dir, _ = pos_index
+    phrases = _phrases_from_corpus(corpus_pdf)
+    assert len(phrases) >= 8
+    r = IndexReader(spark, index_dir)
+    n_nonempty = 0
+    try:
+        for q in phrases:
+            got = r.search(q, k=10, mode="phrase")
+            want = oracle_index.search_bm25_phrase(q, k=10)
+            assert [
+                (d, round(s, 9)) for d, s in got
+            ] == [(d, round(s, 9)) for d, s in want], q
+            n_nonempty += bool(got)
+    finally:
+        r.close()
+    assert n_nonempty >= len(phrases) // 2  # sliced from real docs
+
+
+def test_phrase_edge_cases(spark, pos_index, oracle_index, corpus_pdf):
+    index_dir, _ = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    words = str(pdf["text"].iloc[5]).split()
+    r = IndexReader(spark, index_dir)
+    try:
+        # single-word phrase == conjunction of itself
+        got = r.search(words[0], k=10, mode="phrase")
+        assert got == [
+            (d, pytest.approx(s)) for d, s in
+            oracle_index.search_bm25_and(words[0], k=10)
+        ]
+        # stop-word-only and empty queries
+        assert r.search("the of and is", k=10, mode="phrase") == []
+        assert r.search("", k=10, mode="phrase") == []
+        # absent term empties the phrase
+        assert r.search(words[0] + " zzqqxxyyzz", k=10, mode="phrase") == []
+        # reversed bigram should not equal the forward bigram everywhere
+        fwd = f"{words[0]} {words[1]}"
+        rev = f"{words[1]} {words[0]}"
+        got_f = {d for d, _ in r.search(fwd, k=None or 1000, mode="phrase")}
+        got_r = {d for d, _ in r.search(rev, k=1000, mode="phrase")}
+        want_f = {d for d, _ in oracle_index.search_bm25_phrase(fwd, k=1000)}
+        want_r = {d for d, _ in oracle_index.search_bm25_phrase(rev, k=1000)}
+        assert got_f == want_f and got_r == want_r
+    finally:
+        r.close()
+
+
+def test_phrase_requires_positional_index(spark, built_index):
+    index_dir, _ = built_index
+    r = IndexReader(spark, index_dir)
+    try:
+        with pytest.raises(ValueError, match="positions=True"):
+            r.search("hello world", k=10, mode="phrase")
+    finally:
+        r.close()
+
+
+def test_phrase_plan_prunes_poss_for_other_modes(spark, pos_index):
+    """Non-phrase queries on a positional index must NOT read the poss
+    payload column (parquet column pruning keeps positions free)."""
+    index_dir, _ = pos_index
+    r = IndexReader(spark, index_dir)
+    try:
+        df = r.search_df("the quick brown fox", k=10, mode="pruned")
+        plan = df._jdf.queryExecution().executedPlan().toString() \
+            if df is not None else ""
+        if df is not None:
+            assert "poss" not in plan
+        df2 = r.search_df("the quick brown fox", k=10, mode="phrase")
+        plan2 = df2._jdf.queryExecution().executedPlan().toString() \
+            if df2 is not None else "poss"
+        assert "poss" in plan2
+    finally:
+        r.close()
+
+
+def test_phrase_survives_append_and_update(spark, tmp_path):
+    """Appended and updated turns are phrase-searchable; positions stay
+    sticky without the caller re-passing the flag."""
+    import pandas as pd
+
+    index_dir = str(tmp_path / "pidx")
+    base = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user"] * 3,
+        "text": [
+            "green tea with lemon zest",
+            "black coffee no sugar",
+            "sparkling water with lemon",
+        ],
+    })
+    sdf = spark.createDataFrame(base)
+    build_index(spark, sdf, index_dir,
+                BuildConfig(shard_docs=2, positions=True))
+    extra = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [0], "role": ["user"],
+        "text": ["lemon zest on green tea cake"],
+    })
+    append_index(spark, spark.createDataFrame(extra), index_dir,
+                 batch_label="b1")
+    r = IndexReader(spark, index_dir)
+    try:
+        hits = {d for d, _ in r.search("lemon zest", k=10, mode="phrase")}
+        assert hits == {0, 3}  # original doc 0 + appended doc 3
+        hits2 = {d for d, _ in r.search("green tea", k=10, mode="phrase")}
+        assert hits2 == {0, 3}
+    finally:
+        r.close()
+    update_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame({
+            "conv_id": ["a"], "turn_idx": [0], "role": ["user"],
+            "text": ["zest of lemon over green tea"],
+        })),
+        index_dir,
+    )
+    r = IndexReader(spark, index_dir)
+    try:
+        # "lemon zest" is no longer contiguous in doc 0 ("zest of lemon")
+        hits = {d for d, _ in r.search("lemon zest", k=10, mode="phrase")}
+        assert hits == {3}
+        # but the new phrasing matches (stop-word gap: "zest of lemon")
+        hits3 = {d for d, _ in r.search("zest of lemon", k=10, mode="phrase")}
+        assert hits3 == {0}
+    finally:
+        r.close()
