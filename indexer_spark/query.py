@@ -619,10 +619,9 @@ def _make_phrase_scorer(
             docs, tfs, dls = decode_postings(
                 row.docs, row.tfs, row.dls, int(row.df)
             )
-            pos, pstarts = decode_positions(row.poss, tfs)
             terms.append({
                 "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
-                "pos": pos, "pstarts": pstarts,
+                "poss_raw": row.poss,  # decoded lazily below
                 "w": idf[row.term],
                 "qoffs": qoffsets[row.term],
             })
@@ -634,6 +633,9 @@ def _make_phrase_scorer(
             cand = cand[np.isin(cand, terms[ti]["docs"], assume_unique=True)]
         if cand.size == 0:
             return empty
+        # only shards whose conjunction survives pay the positions decode
+        for t in terms:
+            t["pos"], t["pstarts"] = decode_positions(t["poss_raw"], t["tfs"])
 
         # positional verification per candidate; anchor = fewest postings
         anchor = terms[by_df[0]]
