@@ -1527,6 +1527,45 @@ class IndexReader:
             for d, s in zip(out["doc_id"].to_numpy(), out["score"].to_numpy())
         ]
 
+    def _fast_phrase(self, present: list[str], scorer, k: int) -> list | None:
+        """Driver fast path for phrase mode: same per-term nbytes budget
+        gate as _fast_scored (nbytes excludes the positions payload —
+        measured ~1.6x at 2M turns — so the gate errs permissive by
+        that factor; the ceiling still bounds the read), pyarrow
+        point-read INCLUDING the poss column, then the SAME per-shard
+        phrase scorer a distributed task would run, grouped by shard
+        driver-side, with the standard (score desc, doc_id asc) top-k
+        merge. Result-identical to the distributed phrase plan."""
+        if self.fast_path_bytes <= 0 or not self._has_nbytes:
+            return None
+        total = sum(self._nbytes_cache.get(t, 0) for t in present)
+        if total > self.fast_path_bytes:
+            return None
+        import pyarrow.dataset as pads
+
+        if self._post_ds is None:
+            self._post_ds = pads.dataset(
+                _postings_path(self.index_dir), format="parquet",
+                partitioning="hive",
+            )
+        tbl = self._post_table(
+            columns=["shard", "term", "df", "docs", "tfs", "dls", "poss"],
+            filter=pads.field("term").isin(present),
+        )
+        pdf = tbl.to_pandas()
+        outs = [scorer(g) for _, g in pdf.groupby("shard", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            self.last_path = "fast_phrase"
+            return []
+        allout = pd.concat(outs, ignore_index=True)
+        uids, sums = _topk_merge(
+            allout["doc_id"].to_numpy(np.int64),
+            allout["score"].to_numpy(np.float64), k,
+        )
+        self.last_path = "fast_phrase"
+        return [(int(d), float(s)) for d, s in zip(uids, sums)]
+
     def _postings_for(self, terms: list[str]) -> DataFrame:
         from .build import POSTINGS_SCHEMA, POSTINGS_SCHEMA_POS
 
@@ -1561,6 +1600,33 @@ class IndexReader:
         _fast_scored) regardless of mode — its scoring is
         result-identical to the distributed modes."""
         if mode == "phrase":
+            if not self.stats.get("positions"):
+                raise ValueError(
+                    "phrase search needs an index built with "
+                    "BuildConfig(positions=True); this index has no "
+                    "positions payload"
+                )
+            terms = sorted(set(tokenize(query)))
+            if not terms:
+                return []
+            dfs = self.global_dfs(terms)
+            if any(dfs[t] == 0 for t in terms):
+                return []
+            st = self.stats
+            idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in terms}
+            qoffsets = {
+                t: np.asarray(v, dtype=np.int64)
+                for t, v in term_occurrences(query).items()
+            }
+            hit = self._fast_phrase(
+                terms,
+                _make_phrase_scorer(
+                    idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
+                ),
+                k,
+            )
+            if hit is not None:
+                return hit
             df = self.search_df(query, k, mode)
             if df is None:
                 return []

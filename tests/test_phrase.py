@@ -103,21 +103,29 @@ def test_phrase_positions_payload_parity(spark, pos_index, corpus_pdf):
 
 def test_phrase_rank_identity_vs_oracle(spark, pos_index, corpus_pdf,
                                         oracle_index):
+    """Both execution paths — driver fast path (pyarrow point-read) and
+    the distributed plan (fast paths disabled) — are rank-identical to
+    the naive oracle on real corpus-sliced phrases."""
     index_dir, _ = pos_index
     phrases = _phrases_from_corpus(corpus_pdf)
     assert len(phrases) >= 8
-    r = IndexReader(spark, index_dir)
+    r_fast = IndexReader(spark, index_dir)
+    r_dist = IndexReader(spark, index_dir, fast_path_bytes=0)
     n_nonempty = 0
     try:
         for q in phrases:
-            got = r.search(q, k=10, mode="phrase")
             want = oracle_index.search_bm25_phrase(q, k=10)
-            assert [
-                (d, round(s, 9)) for d, s in got
-            ] == [(d, round(s, 9)) for d, s in want], q
-            n_nonempty += bool(got)
+            want_r = [(d, round(s, 9)) for d, s in want]
+            got_f = r_fast.search(q, k=10, mode="phrase")
+            assert r_fast.last_path == "fast_phrase", q
+            got_d = r_dist.search(q, k=10, mode="phrase")
+            assert r_dist.last_path == "distributed", q
+            assert [(d, round(s, 9)) for d, s in got_f] == want_r, q
+            assert [(d, round(s, 9)) for d, s in got_d] == want_r, q
+            n_nonempty += bool(got_f)
     finally:
-        r.close()
+        r_fast.close()
+        r_dist.close()
     assert n_nonempty >= len(phrases) // 2  # sliced from real docs
 
 
