@@ -61,7 +61,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .compress import encode_positions
+from .compress import encode_positions_doc
 from .lexer import term_counts, term_occurrences
 
 # terms = "\n"-joined tokens (tokens never contain whitespace, so "\n" is
@@ -443,14 +443,9 @@ def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False,
                             dtype=np.int32, count=len(occ),
                         ).tobytes()
                     )
-                    blobs = [encode_positions(v) for v in occ.values()]
-                    poss_col.append(b"".join(blobs))
-                    plens_col.append(
-                        np.fromiter(
-                            (len(bl) for bl in blobs),
-                            dtype=np.int32, count=len(blobs),
-                        ).tobytes()
-                    )
+                    blob, plens = encode_positions_doc(occ.values())
+                    poss_col.append(blob)
+                    plens_col.append(plens.astype(np.int32).tobytes())
                     continue
                 counts = term_counts(text)
                 dls[i] = sum(counts.values())
@@ -657,27 +652,52 @@ def _make_postings_builder(
             k1=k1, b=b, block_size=block_size,
         )
         if positions:
-            # slice each doc row's concatenated per-term position blobs
-            # into per-(doc, term) entries (aligned with the explode
-            # order), re-order to (term, doc_id), then join per term —
-            # the per-doc delta chains stay intact, so the query side
-            # decodes a term's whole payload in one varint pass
-            entry_slices: list[bytes] = []
-            for blob, lens_b in zip(pdf["poss"].tolist(),
-                                    pdf["poss_lens"].tolist()):
-                mv = memoryview(blob)
-                off = 0
-                for ln in np.frombuffer(lens_b, dtype=np.int32):
-                    entry_slices.append(bytes(mv[off : off + ln]))
-                    off += ln
-            if len(entry_slices) != codes.size:
+            # permute each doc row's concatenated per-term position blobs
+            # into (term, doc_id) order WITHOUT per-entry Python slicing:
+            # one big uint8 buffer + a vectorized gather-index (output
+            # position -> input position), then per-term splits at byte
+            # boundaries. The per-doc delta chains stay intact, so the
+            # query side decodes a term's whole payload in one varint
+            # pass. (The obvious bytes-slice loop here was the dominant
+            # positional build cost at 2M turns.)
+            ent_len = np.frombuffer(
+                b"".join(pdf["poss_lens"].tolist()), dtype=np.int32
+            ).astype(np.int64)
+            if ent_len.size != codes.size:
                 raise RuntimeError(
                     f"positions misaligned in shard {shard}: "
-                    f"{len(entry_slices)} blobs vs {codes.size} postings"
+                    f"{ent_len.size} blobs vs {codes.size} postings"
                 )
-            poss_sorted = [entry_slices[j] for j in order]
+            big = np.frombuffer(b"".join(pdf["poss"].tolist()),
+                                dtype=np.uint8)
+            # entries tile the concatenated buffer contiguously in
+            # explode order (doc-major, term-within-doc — exactly how
+            # the tokenizer wrote them), so the exclusive prefix sum IS
+            # every entry's input start
+            if int(ent_len.sum()) != big.size:
+                raise RuntimeError(
+                    f"positions byte-length mismatch in shard {shard}"
+                )
+            ent_start = np.cumsum(ent_len) - ent_len
+            # gather in (term, doc) order
+            s_o = ent_start[order]
+            l_o = ent_len[order]
+            total = int(l_o.sum())
+            if total:
+                out_prev = np.concatenate(([0], np.cumsum(l_o)))[:-1]
+                gather = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(out_prev, l_o)
+                    + np.repeat(s_o, l_o)
+                )
+                permuted = big[gather].tobytes()
+            else:
+                permuted = b""
+            term_bytes = np.add.reduceat(l_o, starts[:-1]) \
+                if l_o.size else np.zeros(0, dtype=np.int64)
+            bounds = np.concatenate(([0], np.cumsum(term_bytes)))
             poss_col = [
-                b"".join(poss_sorted[starts[g] : starts[g + 1]])
+                permuted[bounds[g] : bounds[g + 1]]
                 for g in range(starts.size - 1)
             ]
         # per-term compressed payload bytes, known for free here — stored
@@ -1332,15 +1352,10 @@ def update_index(
                     if pos_on:
                         occ = term_occurrences(text)
                         counts = {t: len(v) for t, v in occ.items()}
-                        blobs = [encode_positions(v) for v in occ.values()]
-                        pdf.iloc[int(i), pdf.columns.get_loc("poss")] = (
-                            b"".join(blobs)
-                        )
+                        blob, plens = encode_positions_doc(occ.values())
+                        pdf.iloc[int(i), pdf.columns.get_loc("poss")] = blob
                         pdf.iloc[int(i), pdf.columns.get_loc("poss_lens")] = (
-                            np.fromiter(
-                                (len(bl) for bl in blobs),
-                                dtype=np.int32, count=len(blobs),
-                            ).tobytes()
+                            plens.astype(np.int32).tobytes()
                         )
                     else:
                         counts = term_counts(text)

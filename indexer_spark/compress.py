@@ -113,6 +113,41 @@ def encode_positions(positions: list[int] | np.ndarray) -> bytes:
     return varint_encode(d)
 
 
+def encode_positions_doc(lists) -> tuple[bytes, np.ndarray]:
+    """Encode ALL of one doc's per-term position lists in ONE varint
+    pass — byte-identical to ``b"".join(encode_positions(v) for v in
+    lists)`` but without millions of tiny-array numpy calls (the
+    per-call overhead dominated the positional build at 2M turns).
+    Returns (concatenated blob, int64 per-term byte lengths)."""
+    lists = list(lists)
+    if not lists:
+        return b"", np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(v) for v in lists), dtype=np.int64,
+                       count=len(lists))
+    total = int(lens.sum())
+    if total == 0:
+        return b"", np.zeros(len(lists), dtype=np.int64)
+    flat = np.empty(total, dtype=np.int64)
+    off = 0
+    for v in lists:
+        n = len(v)
+        flat[off : off + n] = v
+        off += n
+    seg0 = np.cumsum(lens) - lens  # each list's first element
+    d = np.empty_like(flat)
+    d[0] = flat[0]
+    d[1:] = flat[1:] - flat[:-1]
+    d[seg0] = flat[seg0]  # first value of every list stays absolute
+    inner = np.ones(total, dtype=bool)
+    inner[seg0] = False
+    if (d[inner] <= 0).any():
+        raise ValueError("positions must be strictly increasing")
+    vl = varint_lengths(d)
+    per_term = np.add.reduceat(vl, seg0).astype(np.int64) \
+        if total else np.zeros(0, dtype=np.int64)
+    return varint_encode(d), per_term
+
+
 def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One (shard, term) positions payload -> (flat positions int64,
     segment starts). The payload is the doc-ordered concatenation of

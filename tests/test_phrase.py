@@ -50,6 +50,28 @@ def test_positions_codec_roundtrip():
         encode_positions([5, 5, 7])
 
 
+def test_encode_positions_doc_batch_identity():
+    """The one-pass per-doc batch encoder (what the tokenizer actually
+    uses) is byte-identical to per-list encode_positions."""
+    from indexer_spark.compress import encode_positions_doc
+
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        lists = [
+            np.sort(rng.choice(3000, size=int(rng.integers(1, 12)),
+                               replace=False)).astype(np.int64)
+            for _ in range(int(rng.integers(1, 15)))
+        ]
+        blob, plens = encode_positions_doc(lists)
+        ref = [encode_positions(v) for v in lists]
+        assert blob == b"".join(ref)
+        assert list(plens) == [len(b) for b in ref]
+    assert encode_positions_doc([]) == (b"", pytest.approx(np.zeros(0))) \
+        or encode_positions_doc([])[0] == b""
+    with pytest.raises(ValueError):
+        encode_positions_doc([[1, 5], [3, 3, 4]])
+
+
 @pytest.fixture(scope="module")
 def pos_index(spark, corpus_pdf, tmp_path_factory):
     """Positional index over the SAME shared corpus as built_index

@@ -11,8 +11,9 @@ phrase queries of three shapes harvested from real doc texts:
 
 Each phrase result is cross-checked against mode="and" (phrase hits
 must be a subset of the conjunction) and, for the sliced phrases, must
-contain the source doc. Writes one JSON line to stdout and
-BENCH/raw/phrase_bench_2m.json.
+contain the source doc. Writes one JSON line to stdout and the next
+free BENCH/raw/phrase_bench_2m_rep{N}.json (append-only; rep history
+matters more than any single wall on this noisy VM).
 
 Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TURNS (default 2_000_000).
 """
@@ -61,15 +62,27 @@ def main():
         warm_workers(spark)
         sdf = spark.read.parquet(corpus)
 
-        t0 = time.time()
-        build_index(spark, sdf, idx_plain,
-                    BuildConfig(block_size=128, id_partitions=cpus))
-        out["build_plain_sec"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        build_index(spark, sdf, idx_pos,
-                    BuildConfig(block_size=128, id_partitions=cpus,
-                                positions=True))
-        out["build_pos_sec"] = round(time.time() - t0, 1)
+        # alternate plain/positional twice and take best-of-two per
+        # variant: a fixed order biases whichever build runs first with
+        # cold-JVM/page-cache cost, and single shots carry this VM's
+        # window noise (observed plain-first ratios 1.96x and 0.51x for
+        # IDENTICAL code — both artifacts of ordering + windows)
+        walls = {"plain": [], "pos": []}
+        for rep in range(2):
+            for name, cfg_kw in (("plain", {}), ("pos", {"positions": True})):
+                tgt = idx_plain if name == "plain" else idx_pos
+                shutil.rmtree(tgt, ignore_errors=True)
+                t0 = time.time()
+                build_index(spark, sdf, tgt,
+                            BuildConfig(block_size=128, id_partitions=cpus,
+                                        **cfg_kw))
+                walls[name].append(round(time.time() - t0, 1))
+        out["build_plain_secs"] = walls["plain"]
+        out["build_pos_secs"] = walls["pos"]
+        out["build_plain_sec"] = min(walls["plain"])
+        out["build_pos_sec"] = min(walls["pos"])
+        out["build_overhead_x"] = round(
+            out["build_pos_sec"] / out["build_plain_sec"], 3)
         pb = _dir_bytes(os.path.join(idx_plain, "postings"))
         qb = _dir_bytes(os.path.join(idx_pos, "postings"))
         out["postings_bytes_plain"] = pb
@@ -132,9 +145,14 @@ def main():
         finally:
             reader.close()
         print(json.dumps(out))
-        raw = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "..", "BENCH", "raw", "phrase_bench_2m.json")
-        with open(raw, "w") as f:
+        raw_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "BENCH", "raw")
+        rep = 0
+        while os.path.exists(os.path.join(
+                raw_dir, f"phrase_bench_2m_rep{rep}.json")):
+            rep += 1
+        with open(os.path.join(raw_dir,
+                               f"phrase_bench_2m_rep{rep}.json"), "w") as f:
             f.write(json.dumps(out) + "\n")
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
