@@ -260,3 +260,47 @@ def test_phrase_survives_append_and_update(spark, tmp_path):
         assert hits3 == {0}
     finally:
         r.close()
+
+
+def test_phrase_survives_streaming(spark, tmp_path):
+    """Structured-Streaming maintenance of a positional index keeps
+    writing positions (stream_index -> append_index reads the sticky
+    flag from stats.json); phrases in streamed docs are findable."""
+    import os
+
+    import pandas as pd
+
+    from indexer_spark.streaming import stream_index
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    d = str(tmp_path / "spidx")
+    seed = pd.DataFrame({
+        "conv_id": ["a"], "turn_idx": [0], "role": ["user"],
+        "text": ["green tea with lemon zest"],
+        "tool": [None], "ts": [pd.Timestamp("2026-01-01")],
+    })
+    build_index(spark, spark.createDataFrame(seed, schema=schema), d,
+                BuildConfig(shard_docs=4, positions=True))
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    batch = pd.DataFrame({
+        "conv_id": ["z"], "turn_idx": [0], "role": ["user"],
+        "text": ["iced lemon zest cookies"],
+        "tool": [None], "ts": [pd.Timestamp("2026-01-02")],
+    })
+    (spark.createDataFrame(batch, schema=schema)
+     .coalesce(1).write.mode("append").parquet(src_dir))
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ).parquet(src_dir)
+    q = stream_index(spark, stream, d, BuildConfig(shard_docs=4),
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    r = IndexReader(spark, d)
+    try:
+        hits = {doc for doc, _ in r.search("lemon zest", k=10, mode="phrase")}
+        assert hits == {0, 1}  # seed doc + streamed doc
+    finally:
+        r.close()

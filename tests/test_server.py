@@ -120,3 +120,47 @@ def test_resolve_local_matches_resolve(spark, served):
     slow = [r.asDict() for r in reader.resolve(hits).collect()]
     key = lambda r: (r["doc_id"],)  # noqa: E731
     assert sorted(fast, key=key) == sorted(slow, key=key)
+
+
+def test_serve_phrase_mode(spark, tmp_path_factory):
+    """mode=phrase serves from a positional index (fast_phrase path for
+    small payloads) and 500s with an actionable error on an index built
+    without positions."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("served_pos"))
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user"] * 3,
+        "text": [
+            "green tea with lemon zest",
+            "zest of lemon on toast",
+            "lemon green tea zest",
+        ],
+    })
+    build_index(spark, spark.createDataFrame(pdf), d,
+                BuildConfig(block_size=32, id_partitions=2, positions=True))
+    srv = QueryServer(spark, d, port=0)
+    port = srv.start()
+    try:
+        status, body = _get(port, "/search?q=lemon+zest&k=5&mode=phrase")
+        assert status == 200
+        hits = {h["doc_id"] for h in json.loads(body)["hits"]}
+        assert hits == {0}  # only "lemon zest" contiguous; not doc 1 or 2
+        assert srv.reader.last_path == "fast_phrase"
+        status, body = _get(port, "/search?q=zest+of+lemon&k=5&mode=phrase")
+        assert {h["doc_id"] for h in json.loads(body)["hits"]} == {1}
+    finally:
+        srv.stop()
+
+
+def test_serve_phrase_mode_rejects_positionless(served):
+    _, port, pdf, _ = served
+    q = pdf["text"].iloc[0].split()[0]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(port, f"/search?q={q}&k=5&mode=phrase")
+    assert exc.value.code == 500
+    assert "positions=True" in exc.value.read().decode()
