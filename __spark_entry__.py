@@ -583,6 +583,57 @@ def _q_phrase_topk(spark, sf_dir):
     )
 
 
+def _q_near_topk(spark, sf_dir):
+    # positional proximity BM25 (engine: search(mode="near", window=W)
+    # over a BuildConfig(positions=True) index, query.py
+    # _make_near_scorer; pytest-oracle-verified in tests/test_near.py).
+    # This SQL-parity demo expresses the same semantics on the documents
+    # table: docs where 'scan' and 'hash' co-occur within a 4-token
+    # window (single-space tokens == raw-stream positions), scored with
+    # the same BM25 formula over the two terms.
+    import math
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dfs = _df_of_terms(spark, sf_dir)
+    idf = {
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in ("hash", "scan")
+    }
+    dl = _q_doc_len(spark, sf_dir)
+    total_len = dl.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = float(total_len) / n
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = toks.filter(F.col("tok") == "scan").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("tok") == "hash").select("doc_id", F.col("pos").alias("pb"))
+    cand = (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 4)
+        .select("doc_id")
+        .distinct()
+    )
+    base = (
+        _per_term_tf(spark, sf_dir)
+        .join(dl, "doc_id")
+        .join(cand, "doc_id")
+    )
+    norm = F.lit(_K1) * (
+        F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for t in ("hash", "scan"):  # sorted-term order pins float addition
+        tf = F.col(f"tf_{t}")
+        score = score + F.lit(idf[t]) * tf * F.lit(_K1 + 1.0) / (tf + norm)
+    return (
+        base.withColumn("score", F.round(score, 6))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -593,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "phrase_topk": _q_phrase_topk,
+        "near_topk": _q_near_topk,
         "docid_assign": _q_docid_assign,
         "dedup_exact": _q_dedup_exact,
         "sim_topk": _q_sim_topk,
@@ -753,6 +805,38 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             JOIN dl ON b.doc_id = dl.doc_id
             JOIN contig c ON b.doc_id = c.doc_id
+            ORDER BY score DESC, b.doc_id ASC LIMIT 10
+        """,
+        "near_topk": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id,
+                          len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT AS doc_len
+                   FROM documents),
+            avg_dl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+            d AS ({dfs}),
+            idf AS (SELECT term,
+                           ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+                    FROM d),
+            toks AS (SELECT doc_id,
+                            unnest(string_split(text,' ')) AS tok,
+                            unnest(range(1, len(string_split(text,' ')) + 1)) AS pos
+                     FROM documents),
+            cand AS (SELECT DISTINCT a.doc_id
+                     FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                     WHERE a.tok = 'scan' AND b.tok = 'hash'
+                       AND abs(a.pos - b.pos) <= 4),
+            base AS ({tf_pivot})
+            SELECT b.doc_id AS doc_id,
+                   round(  coalesce((SELECT idf FROM idf WHERE term='hash'),0)
+                             * b.tf_hash * 2.2
+                             / (b.tf_hash + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                         + coalesce((SELECT idf FROM idf WHERE term='scan'),0)
+                             * b.tf_scan * 2.2
+                             / (b.tf_scan + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))), 6)
+                     AS score
+            FROM base b
+            JOIN dl ON b.doc_id = dl.doc_id
+            JOIN cand c ON b.doc_id = c.doc_id
             ORDER BY score DESC, b.doc_id ASC LIMIT 10
         """,
         "docid_assign": """

@@ -156,3 +156,49 @@ class OracleIndex:
             (d, s) for d, s in base if self.phrase_match(self.texts[d], query)
         ]
         return results[:k] if k is not None else results
+
+    def near_match(self, text: str | None, query: str, window: int) -> bool:
+        """Naive proximity check: do ALL distinct query terms co-occur
+        within ``window`` raw-stream token offsets (min-cover span:
+        there exists one occurrence of each term with
+        max(pos) - min(pos) <= window)? Unordered; query-term
+        multiplicity is ignored (NEAR is a co-occurrence predicate, not
+        an alignment like phrase_match). Positions index the raw
+        post-lex token stream, so dropped stop-words still widen gaps."""
+        q_terms = sorted(set(tokenize(query)))
+        if not q_terms:
+            return False
+        d_occ = term_occurrences(text)
+        lists = [d_occ.get(t) for t in q_terms]
+        if any(not lst for lst in lists):
+            return False
+        events = sorted(
+            (p, ti) for ti, lst in enumerate(lists) for p in lst
+        )
+        need = len(lists)
+        count = [0] * need
+        covered = 0
+        i = 0
+        for j, (pj, tj) in enumerate(events):
+            count[tj] += 1
+            if count[tj] == 1:
+                covered += 1
+            while count[events[i][1]] > 1:  # shrink redundant left edge
+                count[events[i][1]] -= 1
+                i += 1
+            if covered == need and pj - events[i][0] <= window:
+                return True
+        return False
+
+    def search_bm25_near(
+        self, query: str, window: int, k: int | None = 10
+    ) -> list[tuple[int, float]]:
+        """Proximity BM25: conjunctive survivors whose distinct query
+        terms co-occur within a ``window``-token span; scoring identical
+        to search_bm25_and. Extension (no reference analog)."""
+        base = self.search_bm25_and(query, k=None)
+        results = [
+            (d, s) for d, s in base
+            if self.near_match(self.texts[d], query, window)
+        ]
+        return results[:k] if k is not None else results

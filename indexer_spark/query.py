@@ -678,6 +678,101 @@ def _make_phrase_scorer(
     return fn
 
 
+def _make_near_scorer(
+    idf: dict[str, float], k1, b, avgdl, k, window: int,
+):
+    """Positional proximity (NEAR) scorer: docs where ALL distinct query
+    terms co-occur within a ``window``-token span of the raw post-lex
+    token stream (min-cover: some occurrence of each term with
+    max(pos) - min(pos) <= window). Unordered — phrase's alignment
+    constraint relaxed to co-occurrence — so window=0 means same slot
+    (never true across distinct terms) and window >= doc length
+    degenerates to AND. Requires ``BuildConfig(positions=True)``; no
+    reference analog (the reference is OR-only, SURVEY §2.7).
+
+    Shard-local like the phrase scorer: conjunction first
+    (intersect ascending-df), positions decoded only when the
+    conjunction survives, then a per-candidate minimal-window sweep over
+    the merged occurrence stream. Survivors score standard BM25 over
+    the distinct terms (sorted-term addition order, same arithmetic as
+    every other mode)."""
+    n_required = len(idf)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        if len(pdf) == 0 or pdf["term"].nunique() < n_required:
+            return empty
+        pdf = pdf.sort_values("term", kind="stable")
+        terms = []
+        for row in pdf.itertuples():
+            docs, tfs, dls = decode_postings(
+                row.docs, row.tfs, row.dls, int(row.df)
+            )
+            terms.append({
+                "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
+                "poss_raw": row.poss,  # decoded lazily below
+                "w": idf[row.term],
+            })
+        by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
+        cand = terms[by_df[0]]["docs"]
+        for ti in by_df[1:]:
+            if cand.size == 0:
+                return empty
+            cand = cand[np.isin(cand, terms[ti]["docs"], assume_unique=True)]
+        if cand.size == 0:
+            return empty
+        # only shards whose conjunction survives pay the positions decode
+        for t in terms:
+            t["pos"], t["pstarts"] = decode_positions(t["poss_raw"], t["tfs"])
+
+        keep = np.zeros(cand.size, dtype=bool)
+        for ci, d in enumerate(cand):
+            slices = []
+            for t in terms:
+                si = int(np.searchsorted(t["docs"], d))
+                s, e = t["pstarts"][si], t["pstarts"][si + 1]
+                slices.append(t["pos"][s:e])
+            if len(slices) == 1:
+                keep[ci] = True  # single term: span 0, always within
+                continue
+            pos = np.concatenate(slices)
+            lbl = np.concatenate([
+                np.full(v.size, i, dtype=np.int64)
+                for i, v in enumerate(slices)
+            ])
+            order = np.argsort(pos, kind="stable")
+            pos, lbl = pos[order], lbl[order]
+            count = np.zeros(len(slices), dtype=np.int64)
+            covered = 0
+            i = 0
+            for j in range(pos.size):
+                c = lbl[j]
+                count[c] += 1
+                if count[c] == 1:
+                    covered += 1
+                while count[lbl[i]] > 1:  # shrink redundant left edge
+                    count[lbl[i]] -= 1
+                    i += 1
+                if covered == len(slices) and pos[j] - pos[i] <= window:
+                    keep[ci] = True
+                    break
+        cand = cand[keep]
+        if cand.size == 0:
+            return empty
+
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted-term order pins float addition order
+            pos_in = np.searchsorted(t["docs"], cand)
+            tfv = t["tfs"][pos_in].astype(np.float64)
+            score += t["w"] * _bm25_normpart(
+                tfv, t["dls"][pos_in], k1, b, avgdl
+            )
+        uids, sums = _topk_merge(cand, score, k)
+        return pd.DataFrame({"doc_id": uids, "score": sums})
+
+    return fn
+
+
 def _shard_grouped(scorer):
     """mapInPandas wrapper: accumulate a task's Arrow batches, then run
     the per-shard scorer on each shard present. Correct ONLY when a
@@ -1527,8 +1622,9 @@ class IndexReader:
             for d, s in zip(out["doc_id"].to_numpy(), out["score"].to_numpy())
         ]
 
-    def _fast_phrase(self, present: list[str], scorer, k: int) -> list | None:
-        """Driver fast path for phrase mode: same per-term nbytes budget
+    def _fast_phrase(self, present: list[str], scorer, k: int,
+                     label: str = "fast_phrase") -> list | None:
+        """Driver fast path for the positional modes (phrase / near): same per-term nbytes budget
         gate as _fast_scored (nbytes excludes the positions payload —
         measured ~1.6x at 2M turns — so the gate errs permissive by
         that factor; the ceiling still bounds the read), pyarrow
@@ -1556,14 +1652,14 @@ class IndexReader:
         outs = [scorer(g) for _, g in pdf.groupby("shard", sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
-            self.last_path = "fast_phrase"
+            self.last_path = label
             return []
         allout = pd.concat(outs, ignore_index=True)
         uids, sums = _topk_merge(
             allout["doc_id"].to_numpy(np.int64),
             allout["score"].to_numpy(np.float64), k,
         )
-        self.last_path = "fast_phrase"
+        self.last_path = label
         return [(int(d), float(s)) for d, s in zip(uids, sums)]
 
     def _postings_for(self, terms: list[str]) -> DataFrame:
@@ -1584,7 +1680,8 @@ class IndexReader:
     # -- search ----------------------------------------------------------
 
     def search(
-        self, query: str, k: int = 10, mode: str = "pruned"
+        self, query: str, k: int = 10, mode: str = "pruned",
+        window: int = 8,
     ) -> list[tuple[int, float]]:
         """BM25 top-k -> [(doc_id, score)].
 
@@ -1594,15 +1691,18 @@ class IndexReader:
         an extension beyond the OR-only reference, SURVEY §2.7) |
         'phrase' (positional: only docs containing the query terms as a
         contiguous phrase, stop-word gaps respected; needs an index
-        built with BuildConfig(positions=True)).
+        built with BuildConfig(positions=True)) | 'near' (positional
+        proximity: only docs whose distinct query terms co-occur within
+        a ``window``-token span, unordered; same positional-index
+        requirement). ``window`` applies to mode='near' only.
 
         Small matched postings sets take the driver fast path (see
         _fast_scored) regardless of mode — its scoring is
         result-identical to the distributed modes."""
-        if mode == "phrase":
+        if mode in ("phrase", "near"):
             if not self.stats.get("positions"):
                 raise ValueError(
-                    "phrase search needs an index built with "
+                    f"{mode} search needs an index built with "
                     "BuildConfig(positions=True); this index has no "
                     "positions payload"
                 )
@@ -1614,20 +1714,22 @@ class IndexReader:
                 return []
             st = self.stats
             idf = {t: _bm25_idf(st["n_docs"], dfs[t]) for t in terms}
-            qoffsets = {
-                t: np.asarray(v, dtype=np.int64)
-                for t, v in term_occurrences(query).items()
-            }
-            hit = self._fast_phrase(
-                terms,
-                _make_phrase_scorer(
+            if mode == "phrase":
+                qoffsets = {
+                    t: np.asarray(v, dtype=np.int64)
+                    for t, v in term_occurrences(query).items()
+                }
+                scorer = _make_phrase_scorer(
                     idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
-                ),
-                k,
-            )
+                )
+            else:
+                scorer = _make_near_scorer(
+                    idf, st["k1"], st["b"], st["avgdl"], k, window,
+                )
+            hit = self._fast_phrase(terms, scorer, k, label=f"fast_{mode}")
             if hit is not None:
                 return hit
-            df = self.search_df(query, k, mode)
+            df = self.search_df(query, k, mode, window=window)
             if df is None:
                 return []
             return [(r["doc_id"], r["score"]) for r in df.collect()]
@@ -1675,13 +1777,14 @@ class IndexReader:
             return []
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
-    def search_df(self, query: str, k: int = 10, mode: str = "pruned"):
-        if mode == "phrase" and not self.stats.get("positions"):
+    def search_df(self, query: str, k: int = 10, mode: str = "pruned",
+                  window: int = 8):
+        if mode in ("phrase", "near") and not self.stats.get("positions"):
             # checked before any early return: a caller pointing phrase
             # queries at a position-less index should hear about it even
             # when this particular query would come back empty
             raise ValueError(
-                "phrase search needs an index built with "
+                f"{mode} search needs an index built with "
                 "BuildConfig(positions=True); this index has no "
                 "positions payload"
             )
@@ -1695,22 +1798,22 @@ class IndexReader:
         n = self.stats["n_docs"]
         idf = {t: _bm25_idf(n, dfs[t]) for t in present}
         st = self.stats
-        if mode == "phrase":
-            if not st.get("positions"):
-                raise ValueError(
-                    "phrase search needs an index built with "
-                    "BuildConfig(positions=True); this index has no "
-                    "positions payload"
-                )
+        if mode in ("phrase", "near"):
             if len(present) < len(terms):
-                return None  # a term absent from the corpus empties a phrase
-            qoffsets = {
-                t: np.asarray(v, dtype=np.int64)
-                for t, v in term_occurrences(query).items()
-            }
-            scorer = _make_phrase_scorer(
-                idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
-            )
+                # a term absent from the corpus empties a phrase/near
+                return None
+            if mode == "phrase":
+                qoffsets = {
+                    t: np.asarray(v, dtype=np.int64)
+                    for t, v in term_occurrences(query).items()
+                }
+                scorer = _make_phrase_scorer(
+                    idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
+                )
+            else:
+                scorer = _make_near_scorer(
+                    idf, st["k1"], st["b"], st["avgdl"], k, window,
+                )
             cols = ["shard", "term", "df", "docs", "tfs", "dls", "poss"]
         elif mode == "and":
             if len(present) < len(terms):

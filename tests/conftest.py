@@ -37,6 +37,23 @@ def oracle_index(corpus_pdf):
 
 
 @pytest.fixture(scope="session")
+def pos_index(spark, corpus_pdf, tmp_path_factory):
+    """Positional index over the SAME shared corpus as built_index
+    (small shards force multi-shard verify). Shared by the phrase and
+    near test modules."""
+    from indexer_spark.build import BuildConfig, build_index
+
+    index_dir = str(tmp_path_factory.mktemp("pos_index"))
+    sdf = spark.createDataFrame(corpus_pdf)
+    stats = build_index(
+        spark, sdf, index_dir,
+        BuildConfig(shard_docs=512, block_size=64, id_partitions=6,
+                    positions=True),
+    )
+    return index_dir, stats
+
+
+@pytest.fixture(scope="session")
 def built_index(spark, corpus_pdf, tmp_path_factory):
     """Spark-built index over the same corpus (small shards to force
     multi-shard code paths)."""

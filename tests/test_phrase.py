@@ -72,20 +72,6 @@ def test_encode_positions_doc_batch_identity():
         encode_positions_doc([[1, 5], [3, 3, 4]])
 
 
-@pytest.fixture(scope="module")
-def pos_index(spark, corpus_pdf, tmp_path_factory):
-    """Positional index over the SAME shared corpus as built_index
-    (small shards force multi-shard verify)."""
-    index_dir = str(tmp_path_factory.mktemp("pos_index"))
-    sdf = spark.createDataFrame(corpus_pdf)
-    stats = build_index(
-        spark, sdf, index_dir,
-        BuildConfig(shard_docs=512, block_size=64, id_partitions=6,
-                    positions=True),
-    )
-    return index_dir, stats
-
-
 def _phrases_from_corpus(corpus_pdf, n=12, width=3, seed=7):
     """Real phrases sliced out of documents (guaranteed matchable) plus
     shuffled variants (usually not)."""
