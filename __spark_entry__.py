@@ -634,6 +634,48 @@ def _q_near_topk(spark, sf_dir):
     )
 
 
+def _q_bool_topk(spark, sf_dir):
+    # boolean query language BM25 (engine: search_bool / mode="bool",
+    # indexer_spark/boolquery.py parser + query.py _make_bool_scorer;
+    # pytest-oracle-verified in tests/test_bool.py). This SQL-parity
+    # demo expresses "(scan OR merge) AND NOT hash" on the documents
+    # table: docs containing scan or merge but not hash, scored BM25
+    # over the positive terms they contain (zero-tf terms contribute 0).
+    import math
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dfs = _df_of_terms(spark, sf_dir)
+    idf = {
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in ("merge", "scan")
+    }
+    dl = _q_doc_len(spark, sf_dir)
+    total_len = dl.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = float(total_len) / n
+    base = (
+        _per_term_tf(spark, sf_dir)
+        .filter(
+            ((F.col("tf_scan") > 0) | (F.col("tf_merge") > 0))
+            & (F.col("tf_hash") == 0)
+        )
+        .join(dl, "doc_id")
+    )
+    norm = F.lit(_K1) * (
+        F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for t in ("merge", "scan"):  # sorted-term order pins float addition
+        tf = F.col(f"tf_{t}")
+        score = score + F.lit(idf[t]) * tf * F.lit(_K1 + 1.0) / (tf + norm)
+    return (
+        base.withColumn("score", F.round(score, 6))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -645,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and_topk,
         "phrase_topk": _q_phrase_topk,
         "near_topk": _q_near_topk,
+        "bool_topk": _q_bool_topk,
         "docid_assign": _q_docid_assign,
         "dedup_exact": _q_dedup_exact,
         "sim_topk": _q_sim_topk,
@@ -837,6 +880,30 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             JOIN dl ON b.doc_id = dl.doc_id
             JOIN cand c ON b.doc_id = c.doc_id
+            ORDER BY score DESC, b.doc_id ASC LIMIT 10
+        """,
+        "bool_topk": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id,
+                          len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT AS doc_len
+                   FROM documents),
+            avg_dl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+            d AS ({dfs}),
+            idf AS (SELECT term,
+                           ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+                    FROM d),
+            base AS ({tf_pivot})
+            SELECT b.doc_id AS doc_id,
+                   round(  coalesce((SELECT idf FROM idf WHERE term='merge'),0)
+                             * b.tf_merge * 2.2
+                             / (b.tf_merge + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                         + coalesce((SELECT idf FROM idf WHERE term='scan'),0)
+                             * b.tf_scan * 2.2
+                             / (b.tf_scan + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))), 6)
+                     AS score
+            FROM base b
+            JOIN dl ON b.doc_id = dl.doc_id
+            WHERE (b.tf_scan > 0 OR b.tf_merge > 0) AND b.tf_hash = 0
             ORDER BY score DESC, b.doc_id ASC LIMIT 10
         """,
         "docid_assign": """

@@ -157,6 +157,54 @@ class OracleIndex:
         ]
         return results[:k] if k is not None else results
 
+    def search_bm25_bool(
+        self, query: str, k: int | None = 10
+    ) -> list[tuple[int, float]]:
+        """Boolean-language BM25 (syntax shared with boolquery.parse;
+        evaluation independent: a naive per-doc recursive check over
+        term_counts presence + phrase_match, no set algebra, no index).
+        Matching docs score standard BM25 over the distinct positive
+        terms they contain; negated terms never score."""
+        from .boolquery import And, Or, Phrase, Term, parse
+
+        pq = parse(query)
+        if pq.root is None:
+            return []
+        n, avgdl = self.n_docs, self.avgdl
+        idf = {
+            t: math.log(1.0 + (n - self.df(t) + 0.5) / (self.df(t) + 0.5))
+            for t in pq.pos_terms if self.df(t) > 0
+        }
+
+        def holds(node, text, counts) -> bool:
+            if node is None:
+                return False
+            if isinstance(node, Term):
+                return node.term in counts
+            if isinstance(node, Phrase):
+                return self.phrase_match(text, node.raw)
+            if isinstance(node, And):
+                return all(holds(c, text, counts) for c in node.pos) and \
+                    not any(holds(c, text, counts) for c in node.neg)
+            return any(holds(c, text, counts) for c in node.children)  # Or
+
+        results = []
+        for doc_id, text in self.texts.items():
+            counts = term_counts(text)
+            if not holds(pq.root, text, counts):
+                continue
+            dl = self.doc_len[doc_id]
+            score = 0.0
+            for t in sorted(idf):
+                tf = counts.get(t)
+                if not tf:
+                    continue
+                norm = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                score += idf[t] * tf * (BM25_K1 + 1.0) / norm
+            results.append((doc_id, score))
+        results.sort(key=lambda ds: (-ds[1], ds[0]))
+        return results[:k] if k is not None else results
+
     def near_match(self, text: str | None, query: str, window: int) -> bool:
         """Naive proximity check: do ALL distinct query terms co-occur
         within ``window`` raw-stream token offsets (min-cover span:

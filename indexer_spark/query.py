@@ -773,6 +773,113 @@ def _make_near_scorer(
     return fn
 
 
+def _make_bool_scorer(
+    pq, idf: dict[str, float], k1, b, avgdl, k, positional: bool,
+):
+    """Boolean-query scorer (see boolquery.py for the language): shard-
+    local set algebra over decoded doc arrays — intersect AND groups
+    ascending-size, union OR branches, setdiff NOT restrictions — with
+    quoted phrases positionally verified exactly like mode='phrase'.
+    Exact per shard because doc-range sharding keeps a doc's postings
+    together: a doc's membership of ANY term (negated ones included) is
+    decidable inside its own shard. Matching docs score standard BM25
+    over the distinct positive terms they contain (sorted-term addition
+    order); negated terms never score. No reference analog (the
+    reference is OR-only, SURVEY §2.7)."""
+    from .boolquery import eval_docs
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        if len(pdf) == 0:
+            return empty
+        data: dict[str, dict] = {}
+        for row in pdf.itertuples():
+            docs, tfs, dls = decode_postings(
+                row.docs, row.tfs, row.dls, int(row.df)
+            )
+            data[row.term] = {
+                "docs": docs, "tfs": tfs, "dls": dls,
+                "poss_raw": getattr(row, "poss", None) if positional
+                else None,
+            }
+        term_docs = {t: e["docs"] for t, e in data.items()}
+        no_docs = np.empty(0, dtype=np.int64)
+
+        def positions_of(t):
+            e = data[t]
+            if "pos" not in e:
+                e["pos"], e["pstarts"] = decode_positions(
+                    e["poss_raw"], e["tfs"]
+                )
+            return e["pos"], e["pstarts"]
+
+        def phrase_fn(ph):
+            ents = [data.get(t) for t in ph.terms]
+            if any(e is None for e in ents):
+                return no_docs
+            by_size = sorted(ph.terms, key=lambda t: data[t]["docs"].size)
+            cand = data[by_size[0]]["docs"]
+            for t in by_size[1:]:
+                if cand.size == 0:
+                    return no_docs
+                cand = cand[np.isin(cand, data[t]["docs"],
+                                    assume_unique=True)]
+            if cand.size == 0:
+                return no_docs
+            # anchor on the rarest term's first query offset; every other
+            # (term, offset) pair intersects its shifted candidates —
+            # same verify as _make_phrase_scorer
+            qoff: dict[str, list[int]] = {}
+            for t, o in ph.qoffsets:
+                qoff.setdefault(t, []).append(o)
+            anchor_t = by_size[0]
+            a_off = qoff[anchor_t][0]
+            rest = [
+                (t, o) for t in ph.terms for o in qoff[t]
+                if not (t == anchor_t and o == a_off)
+            ]
+            keep = np.zeros(cand.size, dtype=bool)
+            a_pos, a_starts = positions_of(anchor_t)
+            a_docs = data[anchor_t]["docs"]
+            for ci, d in enumerate(cand):
+                si = int(np.searchsorted(a_docs, d))
+                s, e = a_starts[si], a_starts[si + 1]
+                starts_c = a_pos[s:e] - a_off
+                for t, off in rest:
+                    if starts_c.size == 0:
+                        break
+                    p, pst = positions_of(t)
+                    si2 = int(np.searchsorted(data[t]["docs"], d))
+                    s2, e2 = pst[si2], pst[si2 + 1]
+                    starts_c = starts_c[
+                        np.isin(starts_c + off, p[s2:e2], assume_unique=True)
+                    ]
+                keep[ci] = starts_c.size > 0
+            return cand[keep]
+
+        cand = eval_docs(pq.root, term_docs, phrase_fn)
+        if cand.size == 0:
+            return empty
+
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in sorted(idf):  # sorted-term order pins float addition
+            e = data.get(t)
+            if e is None or e["docs"].size == 0:
+                continue
+            pos_in = np.searchsorted(e["docs"], cand)
+            pos_c = np.minimum(pos_in, e["docs"].size - 1)
+            mask = e["docs"][pos_c] == cand
+            tfv = e["tfs"][pos_c].astype(np.float64)
+            contrib = idf[t] * _bm25_normpart(
+                tfv, e["dls"][pos_c], k1, b, avgdl
+            )
+            score += np.where(mask, contrib, 0.0)
+        uids, sums = _topk_merge(cand, score, k)
+        return pd.DataFrame({"doc_id": uids, "score": sums})
+
+    return fn
+
+
 def _shard_grouped(scorer):
     """mapInPandas wrapper: accumulate a task's Arrow batches, then run
     the per-shard scorer on each shard present. Correct ONLY when a
@@ -1623,15 +1730,17 @@ class IndexReader:
         ]
 
     def _fast_phrase(self, present: list[str], scorer, k: int,
-                     label: str = "fast_phrase") -> list | None:
-        """Driver fast path for the positional modes (phrase / near): same per-term nbytes budget
-        gate as _fast_scored (nbytes excludes the positions payload —
-        measured ~1.6x at 2M turns — so the gate errs permissive by
-        that factor; the ceiling still bounds the read), pyarrow
-        point-read INCLUDING the poss column, then the SAME per-shard
-        phrase scorer a distributed task would run, grouped by shard
-        driver-side, with the standard (score desc, doc_id asc) top-k
-        merge. Result-identical to the distributed phrase plan."""
+                     label: str = "fast_phrase",
+                     cols: list[str] | None = None) -> list | None:
+        """Driver fast path for the shard-grouped scorer modes (phrase /
+        near / bool): same per-term nbytes budget gate as _fast_scored
+        (nbytes excludes the positions payload — measured ~1.6x at 2M
+        turns — so the gate errs permissive by that factor; the ceiling
+        still bounds the read), pyarrow point-read of ``cols`` (default
+        includes the poss column), then the SAME per-shard scorer a
+        distributed task would run, grouped by shard driver-side, with
+        the standard (score desc, doc_id asc) top-k merge.
+        Result-identical to the distributed plan."""
         if self.fast_path_bytes <= 0 or not self._has_nbytes:
             return None
         total = sum(self._nbytes_cache.get(t, 0) for t in present)
@@ -1645,7 +1754,8 @@ class IndexReader:
                 partitioning="hive",
             )
         tbl = self._post_table(
-            columns=["shard", "term", "df", "docs", "tfs", "dls", "poss"],
+            columns=cols or ["shard", "term", "df", "docs", "tfs", "dls",
+                             "poss"],
             filter=pads.field("term").isin(present),
         )
         pdf = tbl.to_pandas()
@@ -1679,6 +1789,71 @@ class IndexReader:
 
     # -- search ----------------------------------------------------------
 
+    def _bool_prep(self, query: str, k: int):
+        """Shared setup for the boolean paths: parse, resolve dfs, build
+        the scorer. Returns None when the query matches nothing by
+        construction (collapses to no atoms, or no positive term exists
+        in the corpus). Raises ValueError on syntax errors,
+        pure-negative queries, and phrase atoms on a position-less
+        index (from boolquery.parse / here)."""
+        from .boolquery import parse
+
+        pq = parse(query)
+        if pq.root is None:
+            return None
+        if pq.has_phrase and not self.stats.get("positions"):
+            raise ValueError(
+                "quoted phrases in a boolean query need an index built "
+                "with BuildConfig(positions=True); this index has no "
+                "positions payload"
+            )
+        all_terms = sorted(set(pq.pos_terms) | set(pq.neg_terms))
+        dfs = self.global_dfs(all_terms)
+        present = [t for t in all_terms if dfs[t] > 0]
+        if not any(dfs[t] > 0 for t in pq.pos_terms):
+            return None  # every positive term absent -> nothing matches
+        st = self.stats
+        idf = {
+            t: _bm25_idf(st["n_docs"], dfs[t])
+            for t in pq.pos_terms if dfs[t] > 0
+        }
+        scorer = _make_bool_scorer(
+            pq, idf, st["k1"], st["b"], st["avgdl"], k, pq.has_phrase,
+        )
+        cols = ["shard", "term", "df", "docs", "tfs", "dls"]
+        if pq.has_phrase:
+            cols.append("poss")
+        return present, scorer, cols
+
+    def search_bool(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean-language BM25 top-k (see boolquery.py): AND / OR /
+        NOT, parentheses, quoted phrases, implicit AND. Matching docs
+        score BM25 over the distinct positive terms they contain.
+        Also reachable as search(query, k, mode='bool')."""
+        prep = self._bool_prep(query, k)
+        if prep is None:
+            return []
+        present, scorer, cols = prep
+        hit = self._fast_phrase(present, scorer, k, label="fast_bool",
+                                cols=cols)
+        if hit is not None:
+            return hit
+        df = self.search_bool_df(query, k)
+        if df is None:
+            return []
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    def search_bool_df(self, query: str, k: int = 10):
+        prep = self._bool_prep(query, k)
+        if prep is None:
+            return None
+        present, scorer, cols = prep
+        scored = self._apply_scorer(
+            self._postings_for(present).select(*cols), scorer
+        )
+        self.last_path = "distributed"
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search(
         self, query: str, k: int = 10, mode: str = "pruned",
         window: int = 8,
@@ -1696,9 +1871,14 @@ class IndexReader:
         a ``window``-token span, unordered; same positional-index
         requirement). ``window`` applies to mode='near' only.
 
+        mode 'bool' treats the query as the boolean language
+        (search_bool): AND / OR / NOT, parentheses, quoted phrases.
+
         Small matched postings sets take the driver fast path (see
         _fast_scored) regardless of mode — its scoring is
         result-identical to the distributed modes."""
+        if mode == "bool":
+            return self.search_bool(query, k)
         if mode in ("phrase", "near"):
             if not self.stats.get("positions"):
                 raise ValueError(
@@ -1779,6 +1959,8 @@ class IndexReader:
 
     def search_df(self, query: str, k: int = 10, mode: str = "pruned",
                   window: int = 8):
+        if mode == "bool":
+            return self.search_bool_df(query, k)
         if mode in ("phrase", "near") and not self.stats.get("positions"):
             # checked before any early return: a caller pointing phrase
             # queries at a position-less index should hear about it even

@@ -10,9 +10,12 @@ Endpoint parity with the reference:
                           newline-joined file paths; (conv_id, turn_idx)
                           is this engine's document identity
 Extras beyond the reference:
-- ``GET /search?q=...&k=10&mode=pruned&tfidf=0`` -> JSON results
-  (mode: pruned | exhaustive | and — conjunctive, all terms required |
-  phrase — contiguous positional match, positional indexes only)
+- ``GET /search?q=...&k=10&mode=pruned&tfidf=0&window=8`` -> JSON
+  results (mode: pruned | exhaustive | and — conjunctive, all terms
+  required | phrase — contiguous positional match, positional indexes
+  only | near — terms co-occur within `window` tokens, positional
+  indexes only | bool — boolean query language: AND / OR / NOT,
+  parentheses, quoted phrases; see boolquery.py)
 - ``GET /stats``       -> index stats JSON
 
 Serving path: IndexReader's driver fast path scores small matched sets
@@ -65,10 +68,11 @@ class QueryServer:
 
     # -- request handling --------------------------------------------------
 
-    def _search(self, q: str, k: int, mode: str, tfidf: bool) -> list[dict]:
+    def _search(self, q: str, k: int, mode: str, tfidf: bool,
+                window: int = 8) -> list[dict]:
         hits = (
             self.reader.search_tfidf(q, k) if tfidf
-            else self.reader.search(q, k, mode=mode)
+            else self.reader.search(q, k, mode=mode, window=window)
         )
         return self.reader.resolve_local(hits)
 
@@ -109,14 +113,24 @@ class QueryServer:
                             # indexing and return nearly the whole corpus
                             raise ValueError(f"k out of range: {k}")
                         mode = (qs.get("mode") or ["pruned"])[0]
-                        if mode not in ("pruned", "exhaustive", "and", "phrase"):
+                        if mode not in ("pruned", "exhaustive", "and",
+                                        "phrase", "near", "bool"):
                             raise ValueError(f"bad mode {mode!r}")
+                        window = int((qs.get("window") or ["8"])[0])
+                        if not (0 <= window <= 1_000_000):
+                            raise ValueError(f"window out of range: {window}")
                         tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
                     except ValueError as e:
                         self._send(400, json.dumps({"error": str(e)}))
                         return
                     try:
-                        rows = server_self._search(q, k, mode, tfidf)
+                        rows = server_self._search(q, k, mode, tfidf, window)
+                    except ValueError as e:
+                        # a bad QUERY (boolean syntax error, pure-negative,
+                        # positional mode on a position-less index) is the
+                        # client's fault, not a server failure
+                        self._send(400, json.dumps({"error": str(e)}))
+                        return
                     except Exception as e:  # surface, don't kill the thread
                         self._send(500, json.dumps({"error": str(e)}))
                         return

@@ -124,7 +124,7 @@ def test_resolve_local_matches_resolve(spark, served):
 
 def test_serve_phrase_mode(spark, tmp_path_factory):
     """mode=phrase serves from a positional index (fast_phrase path for
-    small payloads) and 500s with an actionable error on an index built
+    small payloads) and 400s with an actionable error on an index built
     without positions."""
     import pandas as pd
 
@@ -162,5 +162,60 @@ def test_serve_phrase_mode_rejects_positionless(served):
 
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(port, f"/search?q={q}&k=5&mode=phrase")
-    assert exc.value.code == 500
+    assert exc.value.code == 400  # the client's query is at fault
     assert "positions=True" in exc.value.read().decode()
+
+
+def test_serve_near_mode(spark, tmp_path_factory):
+    """mode=near with a window param serves from a positional index."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("served_near"))
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user"] * 3,
+        "text": [
+            "lemon zest on green tea cake",       # lemon..tea span 4
+            "tea first then a slice of lemon",    # lemon..tea span 6
+            "tea with lemon",                     # span 2
+        ],
+    })
+    build_index(spark, spark.createDataFrame(pdf), d,
+                BuildConfig(block_size=32, id_partitions=2, positions=True))
+    srv = QueryServer(spark, d, port=0)
+    port = srv.start()
+    try:
+        status, body = _get(port, "/search?q=lemon+tea&k=5&mode=near&window=4")
+        assert status == 200
+        assert {h["doc_id"] for h in json.loads(body)["hits"]} == {0, 2}
+        assert srv.reader.last_path == "fast_near"
+        status, body = _get(port, "/search?q=lemon+tea&k=5&mode=near&window=6")
+        assert {h["doc_id"] for h in json.loads(body)["hits"]} == {0, 1, 2}
+        # bad window -> 400
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(port, "/search?q=lemon+tea&mode=near&window=-1")
+        assert exc.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_serve_bool_mode(served):
+    """mode=bool serves the boolean language; syntax and pure-negative
+    errors come back as 400s."""
+    srv, port, pdf, _ = served
+    words = pdf["text"].iloc[0].split()
+    a, b = words[0], words[1]
+    status, body = _get(port, f"/search?q={a}+NOT+{b}&k=5&mode=bool")
+    assert status == 200
+    got = {h["doc_id"] for h in json.loads(body)["hits"]}
+    reader = srv.reader
+    want = {d for d, _ in reader.search_bool(f"{a} NOT {b}", k=5)}
+    assert got == want
+    import urllib.error
+
+    for bad in (f"NOT+{a}", f"{a}+AND", f"%28{a}"):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(port, f"/search?q={bad}&k=5&mode=bool")
+        assert exc.value.code == 400
