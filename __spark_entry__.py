@@ -676,6 +676,53 @@ def _q_bool_topk(spark, sf_dir):
     )
 
 
+def _q_prefix_topk(spark, sf_dir):
+    # prefix (wildcard) query BM25 (engine: search_bool("s*") — boolquery
+    # Prefix atoms expand against the term-sorted term_stats dictionary
+    # via a row-group-pruned range scan, query.py expand_prefix;
+    # pytest-oracle-verified in tests/test_bool.py). This SQL-parity demo
+    # expresses the same OR-of-expansions semantics on the documents
+    # table: every token with prefix 's' scores BM25 with its own df;
+    # per-doc contributions are summed in ascending-term order on BOTH
+    # sides (Spark: left fold over a sorted array; DuckDB: ordered
+    # aggregate) so float addition is bit-determined.
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dl = _q_doc_len(spark, sf_dir)
+    total_len = dl.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = float(total_len) / n
+    tok = _tokens(spark, sf_dir).filter(F.col("term").startswith("s"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfs.withColumn(
+        "idf",
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+              / (F.col("df") + F.lit(0.5))),
+    ).select("term", "idf")
+    norm = F.lit(_K1) * (
+        F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    contrib = (
+        F.col("idf") * F.col("tf") * F.lit(_K1 + 1.0) / (F.col("tf") + norm)
+    )
+    per = (
+        tf.join(idf, "term")
+        .join(dl, "doc_id")
+        .select("doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("tc"))
+    )
+    score = F.aggregate(
+        F.array_sort(F.collect_list("tc")),
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"],
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -688,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "near_topk": _q_near_topk,
         "bool_topk": _q_bool_topk,
+        "prefix_topk": _q_prefix_topk,
         "docid_assign": _q_docid_assign,
         "dedup_exact": _q_dedup_exact,
         "sim_topk": _q_sim_topk,
@@ -905,6 +953,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN dl ON b.doc_id = dl.doc_id
             WHERE (b.tf_scan > 0 OR b.tf_merge > 0) AND b.tf_hash = 0
             ORDER BY score DESC, b.doc_id ASC LIMIT 10
+        """,
+        "prefix_topk": """
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id,
+                          len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT AS doc_len
+                   FROM documents),
+            avg_dl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term LIKE 's%' GROUP BY doc_id, term),
+            d AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            idf AS (SELECT term,
+                           ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+                    FROM d),
+            per AS (SELECT tf.doc_id, tf.term,
+                           idf.idf * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                             AS c
+                    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+            SELECT doc_id, round(sum(c ORDER BY term), 6) AS score
+            FROM per GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "docid_assign": """
             SELECT doc_id,

@@ -8,7 +8,7 @@ case-insensitive, implicit AND between adjacent atoms):
     expr   := and_ex (OR and_ex)*
     and_ex := unary (AND? unary)*
     unary  := NOT unary | atom
-    atom   := '(' expr ')' | '"' words '"' | word
+    atom   := '(' expr ')' | '"' words '"' | word | prefix'*'
 
 Semantics:
 - a bare word runs through the engine lexer (lowercase, char-class
@@ -18,6 +18,10 @@ Semantics:
 - a quoted phrase matches contiguously with stop-word gaps respected
   (same positional semantics as ``mode='phrase'``) and requires a
   positional index;
+- ``word*`` is a prefix atom: it expands against the index's (stemmed)
+  term dictionary into an OR of the matching terms, capped at
+  MAX_PREFIX_EXPANSIONS highest-df terms; a prefix matching nothing is
+  an empty set (it empties an AND group), not a neutral atom;
 - NOT is a restriction, not a set: it must appear alongside at least
   one positive atom in its AND group (a pure-negative query raises
   ``ValueError`` — at 10^12 docs "everything except X" is not a
@@ -36,12 +40,28 @@ import numpy as np
 
 from .lexer import term_occurrences, tokenize
 
-__all__ = ["And", "Or", "ParsedQuery", "Phrase", "Term", "parse"]
+__all__ = [
+    "MAX_PREFIX_EXPANSIONS", "And", "Or", "ParsedQuery", "Phrase",
+    "Prefix", "Term", "cap_expansions", "eval_docs", "from_root",
+    "parse", "rewrite_prefixes",
+]
+
+
+# expansion cap shared by engine and oracle: a prefix matching more
+# dictionary terms keeps the highest-df ones (most selective rewrite,
+# deterministic (-df, term) tiebreak) — the standard bounded multi-term
+# rewrite; unbounded expansion of e.g. 'a*' is a query-of-death at scale
+MAX_PREFIX_EXPANSIONS = 128
 
 
 @dataclass(frozen=True)
 class Term:
     term: str
+
+
+@dataclass(frozen=True)
+class Prefix:
+    prefix: str  # matches dictionary (stemmed) terms starting with this
 
 
 @dataclass(frozen=True)
@@ -70,6 +90,7 @@ class ParsedQuery:
     pos_terms: list[str] = field(default_factory=list)  # sorted distinct
     neg_terms: list[str] = field(default_factory=list)
     has_phrase: bool = False
+    has_prefix: bool = False  # Prefix atoms present: rewrite before eval
 
 
 _TOK = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()"]+)')
@@ -190,6 +211,14 @@ class _Parser:
         if kind in ("AND", "OR"):
             raise ValueError(f"operator {kind} where an atom was expected")
         tok, val = self.take()
+        if tok == "WORD" and val.endswith("*"):
+            stem = val.rstrip("*")
+            if "*" in stem or not stem:
+                raise ValueError(
+                    f"bad wildcard {val!r}: a single trailing * after a "
+                    "non-empty prefix is the only supported form"
+                )
+            return Prefix(stem.lower())
         if tok == "PHRASE":
             terms = tuple(sorted(set(tokenize(val))))
             if not terms:
@@ -213,6 +242,8 @@ def _collect(node, pos: set, neg: set, under_not: bool, flags: dict):
         return
     if isinstance(node, Term):
         (neg if under_not else pos).add(node.term)
+    elif isinstance(node, Prefix):
+        flags["prefix"] = True
     elif isinstance(node, Phrase):
         flags["phrase"] = True
         (neg if under_not else pos).update(node.terms)
@@ -237,11 +268,54 @@ def parse(query: str) -> ParsedQuery:
     root = p.expr()
     if p.i < len(p.toks):
         raise ValueError("unbalanced parenthesis in query")
+    return from_root(root)
+
+
+def from_root(root) -> ParsedQuery:
+    """Re-derive the term inventory of an AST (used after prefix
+    rewriting turns Prefix atoms into Or-of-Term groups)."""
     pos: set[str] = set()
     neg: set[str] = set()
-    flags = {"phrase": False}
+    flags = {"phrase": False, "prefix": False}
     _collect(root, pos, neg, False, flags)
-    return ParsedQuery(root, sorted(pos), sorted(neg), flags["phrase"])
+    return ParsedQuery(root, sorted(pos), sorted(neg), flags["phrase"],
+                       flags["prefix"])
+
+
+def cap_expansions(pairs: list[tuple[str, int]],
+                   cap: int = MAX_PREFIX_EXPANSIONS) -> list[str]:
+    """Shared bounded-rewrite rule: (term, df) pairs -> at most ``cap``
+    terms, keeping the highest-df ones (deterministic (-df, term)
+    order), returned term-sorted. Engine and oracle both route their
+    own dictionaries through this so a capped expansion stays
+    rank-identical between them."""
+    if len(pairs) > cap:
+        pairs = sorted(pairs, key=lambda p: (-p[1], p[0]))[:cap]
+    return sorted(t for t, _ in pairs)
+
+
+def rewrite_prefixes(node, expander):
+    """Replace every Prefix atom with an Or of Terms via
+    ``expander(prefix) -> list[str]`` (already capped). A prefix
+    matching nothing becomes the empty Or — an empty SET, not a
+    vanished atom: 'zz* AND x' matches nothing, unlike a dropped
+    stop-word."""
+    if node is None or isinstance(node, (Term, Phrase)):
+        return node
+    if isinstance(node, Prefix):
+        terms = expander(node.prefix)
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Or(tuple(Term(t) for t in terms))
+    if isinstance(node, And):
+        return And(
+            tuple(rewrite_prefixes(c, expander) for c in node.pos),
+            tuple(rewrite_prefixes(c, expander) for c in node.neg),
+        )
+    if isinstance(node, Or):
+        return Or(tuple(rewrite_prefixes(c, expander)
+                        for c in node.children))
+    raise TypeError(f"unknown node {node!r}")
 
 
 # -- set-algebra evaluation (engine side) --------------------------------
@@ -256,6 +330,11 @@ def eval_docs(node, term_docs, phrase_fn) -> np.ndarray:
     empty = np.empty(0, dtype=np.int64)
     if node is None:
         return empty
+    if isinstance(node, Prefix):
+        raise ValueError(
+            f"unexpanded prefix {node.prefix!r}*: rewrite_prefixes must "
+            "run before evaluation"
+        )
     if isinstance(node, Term):
         return term_docs.get(node.term, empty)
     if isinstance(node, Phrase):

@@ -158,18 +158,37 @@ class OracleIndex:
         return results[:k] if k is not None else results
 
     def search_bm25_bool(
-        self, query: str, k: int | None = 10
+        self, query: str, k: int | None = 10,
+        max_expansions: int | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean-language BM25 (syntax shared with boolquery.parse;
         evaluation independent: a naive per-doc recursive check over
         term_counts presence + phrase_match, no set algebra, no index).
-        Matching docs score standard BM25 over the distinct positive
-        terms they contain; negated terms never score."""
-        from .boolquery import And, Or, Phrase, Term, parse
+        Prefix atoms expand over this oracle's own dictionary (postings
+        keys) through the shared cap rule. Matching docs score standard
+        BM25 over the distinct positive terms they contain; negated
+        terms never score."""
+        from .boolquery import (
+            And, Or, Phrase, Term, cap_expansions, from_root, parse,
+            rewrite_prefixes,
+        )
 
         pq = parse(query)
         if pq.root is None:
             return []
+        if pq.has_prefix:
+            def expander(prefix: str) -> list[str]:
+                pairs = [
+                    (t, len(ps)) for t, ps in self.postings.items()
+                    if t.startswith(prefix)
+                ]
+                return (cap_expansions(pairs, max_expansions)
+                        if max_expansions is not None
+                        else cap_expansions(pairs))
+
+            pq = from_root(rewrite_prefixes(pq.root, expander))
+            if pq.root is None:
+                return []
         n, avgdl = self.n_docs, self.avgdl
         idf = {
             t: math.log(1.0 + (n - self.df(t) + 0.5) / (self.df(t) + 0.5))

@@ -1096,6 +1096,7 @@ class IndexReader:
         self.last_path: str | None = None  # "fast" | "distributed"
         self._df_cache: dict[str, int] = {}
         self._nbytes_cache: dict[str, int] = {}
+        self._prefix_cache: dict[tuple[str, int], list[str]] = {}
         self._has_nbytes: bool | None = None
         # decoded-postings cache namespace: (index identity, epoch). The
         # epoch (bumped on every stats commit) invalidates entries across
@@ -1234,6 +1235,7 @@ class IndexReader:
             self._pinned_keys -= stale
         self._df_cache.clear()
         self._nbytes_cache.clear()
+        self._prefix_cache.clear()
         self._cached_terms.clear()
         self._has_nbytes = None  # re-probe the refreshed schema lazily
         # re-derive the whole-file-task pin: the mutation may have grown
@@ -1330,6 +1332,56 @@ class IndexReader:
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
+
+    def expand_prefix(self, prefix: str,
+                      cap: int | None = None) -> list[str]:
+        """Dictionary terms starting with ``prefix``, for the boolean
+        language's ``word*`` atoms. A range predicate [prefix, prefix+
+        U+10FFFF) on the term-sorted term_stats parquet — row-group
+        min/max stats prune this to a metadata-sized read, same as
+        global_dfs; never a Spark job, never a postings read. Capped at
+        ``cap`` (default boolquery.MAX_PREFIX_EXPANSIONS) highest-df
+        terms via the shared cap_expansions rule. The scan's (df,
+        nbytes) ride along into the reader caches for free."""
+        from .boolquery import MAX_PREFIX_EXPANSIONS, cap_expansions
+
+        cap = MAX_PREFIX_EXPANSIONS if cap is None else cap
+        key = (prefix, cap)
+        hit = self._prefix_cache.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.dataset as pads
+
+        if self._ts_ds is None:
+            self._ts_ds = pads.dataset(
+                _term_stats_path(self.index_dir), format="parquet"
+            )
+        ds = self._ts_ds
+        if "term" not in ds.schema.names:  # zero-postings index
+            self._prefix_cache[key] = []
+            return []
+        self._has_nbytes = "nbytes" in ds.schema.names
+        tbl = self._ts_table(
+            filter=(pads.field("term") >= prefix)
+            & (pads.field("term") < prefix + "\U0010ffff")
+        )
+        terms = tbl.column("term").to_pylist()
+        dfs = [int(x) for x in tbl.column("df").to_pylist()]
+        nbs = (
+            [int(x or 0) for x in tbl.column("nbytes").to_pylist()]
+            if self._has_nbytes else [0] * len(terms)
+        )
+        pairs = []
+        for t, d, nb in zip(terms, dfs, nbs):
+            if not t.startswith(prefix):
+                continue
+            pairs.append((t, d))
+            self._df_cache[t] = d
+            if self._has_nbytes:
+                self._nbytes_cache[t] = nb
+        out = cap_expansions(pairs, cap)
+        self._prefix_cache[key] = out
+        return out
 
     def _record_cached(self, term: str, row: tuple[int, int, int]) -> None:
         """Record a decoded (term, shard) row for _fast_from_cache, with
@@ -1789,18 +1841,27 @@ class IndexReader:
 
     # -- search ----------------------------------------------------------
 
-    def _bool_prep(self, query: str, k: int):
-        """Shared setup for the boolean paths: parse, resolve dfs, build
-        the scorer. Returns None when the query matches nothing by
-        construction (collapses to no atoms, or no positive term exists
-        in the corpus). Raises ValueError on syntax errors,
-        pure-negative queries, and phrase atoms on a position-less
-        index (from boolquery.parse / here)."""
-        from .boolquery import parse
+    def _bool_prep(self, query: str, k: int,
+                   max_expansions: int | None = None):
+        """Shared setup for the boolean paths: parse, expand prefix
+        atoms against the dictionary, resolve dfs, build the scorer.
+        Returns None when the query matches nothing by construction
+        (collapses to no atoms, or no positive term exists in the
+        corpus). Raises ValueError on syntax errors, pure-negative
+        queries, and phrase atoms on a position-less index (from
+        boolquery.parse / here)."""
+        from .boolquery import from_root, parse, rewrite_prefixes
 
         pq = parse(query)
         if pq.root is None:
             return None
+        if pq.has_prefix:
+            root = rewrite_prefixes(
+                pq.root, lambda p: self.expand_prefix(p, max_expansions)
+            )
+            pq = from_root(root)
+            if pq.root is None:
+                return None
         if pq.has_phrase and not self.stats.get("positions"):
             raise ValueError(
                 "quoted phrases in a boolean query need an index built "
@@ -1825,12 +1886,15 @@ class IndexReader:
             cols.append("poss")
         return present, scorer, cols
 
-    def search_bool(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_bool(self, query: str, k: int = 10,
+                    max_expansions: int | None = None,
+                    ) -> list[tuple[int, float]]:
         """Boolean-language BM25 top-k (see boolquery.py): AND / OR /
-        NOT, parentheses, quoted phrases, implicit AND. Matching docs
-        score BM25 over the distinct positive terms they contain.
-        Also reachable as search(query, k, mode='bool')."""
-        prep = self._bool_prep(query, k)
+        NOT, parentheses, quoted phrases, `word*` prefix atoms,
+        implicit AND. Matching docs score BM25 over the distinct
+        positive terms they contain. Also reachable as
+        search(query, k, mode='bool')."""
+        prep = self._bool_prep(query, k, max_expansions)
         if prep is None:
             return []
         present, scorer, cols = prep
@@ -1838,13 +1902,14 @@ class IndexReader:
                                 cols=cols)
         if hit is not None:
             return hit
-        df = self.search_bool_df(query, k)
+        df = self.search_bool_df(query, k, max_expansions)
         if df is None:
             return []
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
-    def search_bool_df(self, query: str, k: int = 10):
-        prep = self._bool_prep(query, k)
+    def search_bool_df(self, query: str, k: int = 10,
+                       max_expansions: int | None = None):
+        prep = self._bool_prep(query, k, max_expansions)
         if prep is None:
             return None
         present, scorer, cols = prep

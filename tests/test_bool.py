@@ -177,6 +177,74 @@ def test_bool_not_excludes_and_never_scores(spark, pos_index, corpus_pdf,
         r.close()
 
 
+def test_parse_prefix_atoms():
+    from indexer_spark.boolquery import Prefix
+
+    assert parse("sca*").root == Prefix("sca")
+    assert parse("SCA*").root == Prefix("sca")  # lowercased, NOT stemmed
+    assert parse("ab**").root == Prefix("ab")
+    r = parse("sca* NOT merge").root
+    assert isinstance(r, And) and r.pos == (Prefix("sca"),)
+    pq = parse("sca* OR hash")
+    assert pq.has_prefix and pq.pos_terms == ["hash"]  # prefix unexpanded
+    for bad in ("*", "a*b*"):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+def test_prefix_expansion_cap_is_shared(spark, pos_index, oracle_index):
+    """Engine dictionary expansion == oracle dictionary expansion, both
+    uncapped and under a tight cap (same (-df, term) keep rule)."""
+    from indexer_spark.boolquery import cap_expansions
+
+    index_dir, _ = pos_index
+    r = IndexReader(spark, index_dir)
+    try:
+        for prefix in ("a", "qa", "zz"):
+            want_pairs = [
+                (t, len(ps)) for t, ps in oracle_index.postings.items()
+                if t.startswith(prefix)
+            ]
+            assert r.expand_prefix(prefix) == cap_expansions(want_pairs)
+            assert r.expand_prefix(prefix, cap=3) == \
+                cap_expansions(want_pairs, 3)
+    finally:
+        r.close()
+
+
+def test_prefix_rank_identity_vs_oracle(spark, pos_index, corpus_pdf,
+                                        oracle_index):
+    index_dir, _ = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    words = str(pdf["text"].iloc[11]).split()
+    a, b = words[0], words[2]
+    queries = [
+        f"{a[:2]}*",
+        f"{a[:3]}* AND {b}",
+        f"{b} NOT {a[:3]}*",
+        f'({a[:2]}* OR {b}) NOT {words[4]}',
+        f"zzqq* OR {b}",      # dead prefix in OR: other branch survives
+        f"zzqq* AND {b}",     # dead prefix in AND: empties the group
+    ]
+    r_fast = IndexReader(spark, index_dir)
+    r_dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+    try:
+        for q in queries:
+            for cap in (None, 2):
+                want = [(d, round(s, 9)) for d, s in
+                        oracle_index.search_bm25_bool(q, k=10,
+                                                      max_expansions=cap)]
+                got_f = r_fast.search_bool(q, k=10, max_expansions=cap)
+                got_d = r_dist.search_bool(q, k=10, max_expansions=cap)
+                assert [(d, round(s, 9)) for d, s in got_f] == want, (q, cap)
+                assert [(d, round(s, 9)) for d, s in got_d] == want, (q, cap)
+        assert r_fast.search_bool(f"zzqq* AND {b}", k=10) == []
+        assert r_fast.search_bool("zzqq*", k=10) == []
+    finally:
+        r_fast.close()
+        r_dist.close()
+
+
 def test_bool_edge_cases(spark, pos_index, built_index, corpus_pdf):
     index_dir, _ = pos_index
     plain_dir, _ = built_index
