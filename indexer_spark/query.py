@@ -721,42 +721,54 @@ def _make_near_scorer(
             cand = cand[np.isin(cand, terms[ti]["docs"], assume_unique=True)]
         if cand.size == 0:
             return empty
-        # only shards whose conjunction survives pay the positions decode
-        for t in terms:
-            t["pos"], t["pstarts"] = decode_positions(t["poss_raw"], t["tfs"])
-
-        keep = np.zeros(cand.size, dtype=bool)
-        for ci, d in enumerate(cand):
-            slices = []
+        if n_required > 1:
+            # only shards whose conjunction survives pay the positions
+            # decode; the verify is vectorized ACROSS candidates (no
+            # per-doc Python loop — measured 8k-candidate loops already
+            # cost ~0.25 s, a non-starter at engine scale):
+            # span(min-cover) <= window  iff  some occurrence p (the
+            # cover's minimum) has every term occurring in [p, p+window].
+            # Encode each occurrence as candidate_label*stride + pos;
+            # stride > max_pos + window keeps windows from leaking
+            # across docs, so one searchsorted per term answers "does t
+            # occur in [p, p+window] of the same doc" for ALL start
+            # candidates at once.
             for t in terms:
-                si = int(np.searchsorted(t["docs"], d))
-                s, e = t["pstarts"][si], t["pstarts"][si + 1]
-                slices.append(t["pos"][s:e])
-            if len(slices) == 1:
-                keep[ci] = True  # single term: span 0, always within
-                continue
-            pos = np.concatenate(slices)
-            lbl = np.concatenate([
-                np.full(v.size, i, dtype=np.int64)
-                for i, v in enumerate(slices)
-            ])
-            order = np.argsort(pos, kind="stable")
-            pos, lbl = pos[order], lbl[order]
-            count = np.zeros(len(slices), dtype=np.int64)
-            covered = 0
-            i = 0
-            for j in range(pos.size):
-                c = lbl[j]
-                count[c] += 1
-                if count[c] == 1:
-                    covered += 1
-                while count[lbl[i]] > 1:  # shrink redundant left edge
-                    count[lbl[i]] -= 1
-                    i += 1
-                if covered == len(slices) and pos[j] - pos[i] <= window:
-                    keep[ci] = True
-                    break
-        cand = cand[keep]
+                t["pos"], t["pstarts"] = decode_positions(
+                    t["poss_raw"], t["tfs"]
+                )
+            lbl_of = np.arange(cand.size, dtype=np.int64)
+            keys = []
+            max_pos = 0
+            for t in terms:
+                si = np.searchsorted(t["docs"], cand)
+                starts = t["pstarts"][si]
+                lens = t["pstarts"][si + 1] - starts
+                total = int(lens.sum())
+                # gather the candidate docs' position slices in one shot
+                base = np.repeat(starts, lens)
+                head = np.zeros(cand.size, dtype=np.int64)
+                head[1:] = np.cumsum(lens)[:-1]
+                gidx = np.arange(total, dtype=np.int64) - \
+                    np.repeat(head, lens) + base
+                t["cpos"] = t["pos"][gidx]
+                t["clbl"] = np.repeat(lbl_of, lens)
+                if t["cpos"].size:
+                    max_pos = max(max_pos, int(t["cpos"].max()))
+                keys.append(t)
+            w_eff = min(int(window), max_pos + 1)  # span never exceeds it
+            stride = np.int64(max_pos + w_eff + 2)
+            for t in terms:
+                t["key"] = t["clbl"] * stride + t["cpos"]
+            starts_all = np.concatenate([t["key"] for t in terms])
+            ok = np.ones(starts_all.size, dtype=bool)
+            for t in terms:
+                i = np.searchsorted(t["key"], starts_all)
+                ic = np.minimum(i, t["key"].size - 1)
+                ok &= (i < t["key"].size) & \
+                    (t["key"][ic] <= starts_all + w_eff)
+            matched = np.unique(starts_all[ok] // stride)
+            cand = cand[matched]
         if cand.size == 0:
             return empty
 
