@@ -106,10 +106,11 @@ def main():
                 docsets[name] = {d for d, _ in hits}
                 out["queries"][name] = {"q": q2, "walls_sec": walls,
                                         "n_hits": len(hits)}
-            # semantics guards (top-k sets can differ; use full k)
+            # semantics guards: FULL result sets (any finite k
+            # truncates by score and breaks set comparability)
             big = {
                 name: {d for d, _ in reader.search(
-                    q2, k=100_000, mode=m, window=w)}
+                    q2, k=1 << 30, mode=m, window=w)}
                 for name, (m, w) in {
                     "and": ("and", 8), "phrase": ("phrase", 8),
                     "near_w2": ("near", 2), "near_w8": ("near", 8),
@@ -131,8 +132,8 @@ def main():
                                         "n_hits": len(hits)}
             # NOT excludes: no doc in 'a NOT b' may contain b
             not_docs = {d for d, _ in
-                        reader.search_bool(f"{a} NOT {b}", k=100_000)}
-            b_docs = {d for d, _ in reader.search(b, k=10_000_000,
+                        reader.search_bool(f"{a} NOT {b}", k=1 << 30)}
+            b_docs = {d for d, _ in reader.search(b, k=1 << 30,
                                                   mode="and")}
             assert not (not_docs & b_docs), "NOT leaked excluded docs"
 
