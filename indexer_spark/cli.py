@@ -99,7 +99,8 @@ def cmd_serve(args):
     from .server import serve_forever
 
     spark = get_session(args)
-    serve_forever(spark, args.index, host=args.host, port=args.port)
+    serve_forever(spark, args.index, host=args.host, port=args.port,
+                  source_path=args.source)
 
 
 def cmd_synth(args):
@@ -156,6 +157,9 @@ def main(argv=None):
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8765)
+    sv.add_argument("--source", default=None,
+                    help="transcripts parquet the index was built from; "
+                         "enables &snippets=1 highlighting")
     sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("synth")

@@ -111,6 +111,51 @@ def tokenize(text: str | None) -> list[str]:
     return out
 
 
+def term_char_spans(text: str | None) -> list[tuple[str, int, int]]:
+    """(final_term, start, end) character spans in the ORIGINAL text for
+    every indexed (non-stop) token occurrence, in stream order — the
+    display-side complement of term_occurrences, used for highlighting.
+
+    Spans index the text as given: the ASCII fast path scans the
+    lowercased copy (same length by construction); the unicode path
+    scans the original with the same char classes and lowercases per
+    token, which matches the indexing tokenization except for exotic
+    case-fold edge cases (e.g. İ) where lower() changes string length —
+    a display feature tolerates that, the index never sees it."""
+    if not text:
+        return []
+    out: list[tuple[str, int, int]] = []
+    final = _final
+    if text.isascii():
+        for m in _ASCII_TOKEN_RE.finditer(text.lower()):
+            f = final(m.group())
+            if f is not None:
+                out.append((f, m.start(), m.end()))
+        return out
+    s = text
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c.isnumeric():
+            j = i + 1
+            while j < n and s[j].isnumeric():
+                j += 1
+        elif c.isalpha():
+            j = i + 1
+            while j < n and s[j].isalnum():
+                j += 1
+        else:
+            j = i + 1
+        f = final(s[i:j].lower())
+        if f is not None:
+            out.append((f, i, j))
+        i = j
+    return out
+
+
 def term_occurrences(text: str | None) -> dict[str, list[int]]:
     """term -> token positions for one document or query.
 

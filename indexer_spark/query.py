@@ -1898,6 +1898,24 @@ class IndexReader:
             cols.append("poss")
         return present, scorer, cols
 
+    def positive_terms(self, query: str, mode: str = "pruned") -> set[str]:
+        """The distinct index terms a query scores on — what a snippet
+        highlighter should mark. Plain modes: every query term; boolean
+        mode: positive atoms only (a NOT-ed term is evidence of
+        non-match), with prefix atoms expanded against the dictionary."""
+        if mode == "bool":
+            from .boolquery import from_root, parse, rewrite_prefixes
+
+            pq = parse(query)
+            if pq.root is None:
+                return set()
+            if pq.has_prefix:
+                pq = from_root(
+                    rewrite_prefixes(pq.root, self.expand_prefix)
+                )
+            return set(pq.pos_terms)
+        return set(tokenize(query))
+
     def search_bool(self, query: str, k: int = 10,
                     max_expansions: int | None = None,
                     ) -> list[tuple[int, float]]:

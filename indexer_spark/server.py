@@ -10,7 +10,8 @@ Endpoint parity with the reference:
                           newline-joined file paths; (conv_id, turn_idx)
                           is this engine's document identity
 Extras beyond the reference:
-- ``GET /search?q=...&k=10&mode=pruned&tfidf=0&window=8`` -> JSON
+- ``GET /search?q=...&k=10&mode=pruned&tfidf=0&window=8&snippets=160``
+  -> JSON
   results (mode: pruned | exhaustive | and — conjunctive, all terms
   required | phrase — contiguous positional match, positional indexes
   only | near — terms co-occur within `window` tokens, positional
@@ -53,7 +54,13 @@ class QueryServer:
 
     def __init__(self, spark, index_dir: str, host: str = "127.0.0.1",
                  port: int = 0, k_default: int = 10,
-                 warm_hot_terms: int = 32):
+                 warm_hot_terms: int = 32,
+                 source_path: str | None = None):
+        # source_path: the transcripts parquet the index was built from;
+        # enables &snippets=1 (the index itself stores no raw text — the
+        # source table stays the text of record)
+        self.source_path = source_path
+        self._source_ds = None
         self.reader = IndexReader(spark, index_dir)
         if warm_hot_terms:
             try:
@@ -69,12 +76,52 @@ class QueryServer:
     # -- request handling --------------------------------------------------
 
     def _search(self, q: str, k: int, mode: str, tfidf: bool,
-                window: int = 8) -> list[dict]:
+                window: int = 8, snippets: int = 0) -> list[dict]:
         hits = (
             self.reader.search_tfidf(q, k) if tfidf
             else self.reader.search(q, k, mode=mode, window=window)
         )
-        return self.reader.resolve_local(hits)
+        rows = self.reader.resolve_local(hits)
+        if snippets and rows:
+            self._attach_snippets(rows, q, mode, max_chars=snippets)
+        return rows
+
+    def _attach_snippets(self, rows: list[dict], q: str, mode: str,
+                         max_chars: int) -> None:
+        """Point-read the k result texts from the source table (pyarrow,
+        conv_id/turn_idx pushdown — k rows, no Spark job) and attach
+        {"snippet", "matches"} per row via snippets.make_snippet."""
+        if not self.source_path:
+            raise ValueError(
+                "snippets need the server started with source_path= "
+                "(the index stores no raw text)"
+            )
+        import pyarrow.dataset as pads
+
+        from .snippets import make_snippet
+
+        if self._source_ds is None:
+            self._source_ds = pads.dataset(self.source_path,
+                                           format="parquet")
+        convs = sorted({r["conv_id"] for r in rows})
+        turns = sorted({r["turn_idx"] for r in rows})
+        tbl = self._source_ds.to_table(
+            columns=["conv_id", "turn_idx", "text"],
+            filter=pads.field("conv_id").isin(convs)
+            & pads.field("turn_idx").isin(turns),
+        )
+        texts = {
+            (c, int(t)): x
+            for c, t, x in zip(
+                tbl.column("conv_id").to_pylist(),
+                tbl.column("turn_idx").to_pylist(),
+                tbl.column("text").to_pylist(),
+            )
+        }
+        terms = self.reader.positive_terms(q, mode)
+        for r in rows:
+            text = texts.get((r["conv_id"], r["turn_idx"]))
+            r.update(make_snippet(text, terms, max_chars=max_chars))
 
     def _make_handler(server_self):  # noqa: N805 - handler factory
         class Handler(BaseHTTPRequestHandler):
@@ -120,11 +167,17 @@ class QueryServer:
                         if not (0 <= window <= 1_000_000):
                             raise ValueError(f"window out of range: {window}")
                         tfidf = (qs.get("tfidf") or ["0"])[0] in ("1", "true")
+                        sn = (qs.get("snippets") or ["0"])[0]
+                        snippets = 160 if sn in ("1", "true") else int(sn)
+                        if not (0 <= snippets <= 10_000):
+                            raise ValueError(
+                                f"snippets out of range: {snippets}")
                     except ValueError as e:
                         self._send(400, json.dumps({"error": str(e)}))
                         return
                     try:
-                        rows = server_self._search(q, k, mode, tfidf, window)
+                        rows = server_self._search(q, k, mode, tfidf, window,
+                                                   snippets)
                     except ValueError as e:
                         # a bad QUERY (boolean syntax error, pure-negative,
                         # positional mode on a position-less index) is the
@@ -186,9 +239,11 @@ class QueryServer:
         self.reader.close()
 
 
-def serve_forever(spark, index_dir: str, host="127.0.0.1", port=8765):
+def serve_forever(spark, index_dir: str, host="127.0.0.1", port=8765,
+                  source_path: str | None = None):
     """Blocking entry point for `indexer_spark serve` (CLI)."""
-    srv = QueryServer(spark, index_dir, host=host, port=port)
+    srv = QueryServer(spark, index_dir, host=host, port=port,
+                      source_path=source_path)
     bound = srv.start()
     print(json.dumps({"serving": f"http://{host}:{bound}",
                       "index": index_dir}), flush=True)

@@ -201,6 +201,61 @@ def test_serve_near_mode(spark, tmp_path_factory):
         srv.stop()
 
 
+def test_serve_snippets(spark, tmp_path_factory):
+    """&snippets=N attaches highlight snippets rendered from the SOURCE
+    table (the index stores no raw text); without source_path it 400s."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("served_snip"))
+    src = str(tmp_path_factory.mktemp("served_snip_src")) + "/src.parquet"
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user"] * 3,
+        "text": [
+            "Lemons are running wild in the lemon grove near the river",
+            "nothing to see here at all",
+            "a lemony drink with one Lemon slice " + "pad " * 40,
+        ],
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    build_index(spark, spark.read.parquet(src), d,
+                BuildConfig(block_size=32, id_partitions=2))
+    srv = QueryServer(spark, d, port=0, source_path=src)
+    port = srv.start()
+    try:
+        status, body = _get(port, "/search?q=lemon&k=5&snippets=1")
+        assert status == 200
+        hits = json.loads(body)["hits"]
+        assert hits and all("snippet" in h and "matches" in h for h in hits)
+        for h in hits:
+            # stemmed highlighting: 'lemon' marks Lemons/lemon/Lemon
+            assert h["matches"], h
+            for term, s, e in h["matches"]:
+                assert term == "lemon"
+                assert h["snippet"][s:e].lower().startswith("lemon")
+        # long doc got truncated with the match in view
+        long_hit = [h for h in hits if "pad" in h["snippet"]][0]
+        assert "…" in long_hit["snippet"]
+        # value is the char budget
+        _, body2 = _get(port, "/search?q=lemon&k=5&snippets=500")
+        assert max(len(h["snippet"])
+                   for h in json.loads(body2)["hits"]) > 160
+    finally:
+        srv.stop()
+
+
+def test_serve_snippets_require_source(served):
+    _, port, pdf, _ = served
+    q = pdf["text"].iloc[0].split()[0]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(port, f"/search?q={q}&k=5&snippets=1")
+    assert exc.value.code == 400
+    assert "source_path" in exc.value.read().decode()
+
+
 def test_serve_bool_mode(served):
     """mode=bool serves the boolean language; syntax and pure-negative
     errors come back as 400s."""
