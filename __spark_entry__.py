@@ -723,6 +723,67 @@ def _q_prefix_topk(spark, sf_dir):
     )
 
 
+def _q_hybrid_topk(spark, sf_dir):
+    # hybrid retrieval: BM25 top-50 candidates -> embedding-cosine rerank
+    # (engine: IndexReader.search_rerank — stage 2 is a driver-side
+    # point-read of candidate vectors + numpy cosine, no Spark job;
+    # pytest-oracle-verified in tests/test_hybrid.py). Demo: the
+    # bm25_topk pipeline cut at 50, joined to embeddings on
+    # doc_id = vec_id, reranked by cosine to vec 0 (same double-cast
+    # dot/sqrt expression DuckDB's list_cosine_similarity uses — the
+    # sim_topk pair established bit-for-bit agreement).
+    import math
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dfs = _df_of_terms(spark, sf_dir)
+    idf = {
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in _TERMS
+    }
+    dl = _q_doc_len(spark, sf_dir)
+    total_len = dl.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = float(total_len) / n
+    base = _per_term_tf(spark, sf_dir).join(dl, "doc_id")
+    norm = F.lit(_K1) * (
+        F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for t in _TERMS:
+        tf = F.col(f"tf_{t}")
+        score = score + F.lit(idf[t]) * tf * F.lit(_K1 + 1.0) / (tf + norm)
+    cand = (
+        base.withColumn("bm25", F.round(score, 6))
+        .filter(F.col("bm25") > 0.0)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    j = cand.join(emb, cand.doc_id == emb.vec_id).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        j.select(
+            "doc_id", "bm25",
+            F.round(dot / F.sqrt(sq(F.col("v")) * sq(F.col("q"))), 6)
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -736,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "bool_topk": _q_bool_topk,
         "prefix_topk": _q_prefix_topk,
+        "hybrid_topk": _q_hybrid_topk,
         "docid_assign": _q_docid_assign,
         "dedup_exact": _q_dedup_exact,
         "sim_topk": _q_sim_topk,
@@ -975,6 +1037,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(c ORDER BY term), 6) AS score
             FROM per GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "hybrid_topk": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id,
+                          len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT AS doc_len
+                   FROM documents),
+            avg_dl AS (SELECT sum(doc_len)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dl),
+            d AS ({dfs}),
+            idf AS (SELECT term,
+                           ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+                    FROM d),
+            base AS ({tf_pivot}),
+            scored AS (
+              SELECT b.doc_id AS doc_id,
+                     round(  coalesce((SELECT idf FROM idf WHERE term='scan'),0)
+                               * b.tf_scan * 2.2
+                               / (b.tf_scan + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                           + coalesce((SELECT idf FROM idf WHERE term='merge'),0)
+                               * b.tf_merge * 2.2
+                               / (b.tf_merge + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl)))
+                           + coalesce((SELECT idf FROM idf WHERE term='hash'),0)
+                               * b.tf_hash * 2.2
+                               / (b.tf_hash + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM avg_dl))), 6)
+                       AS bm25
+              FROM base b JOIN dl ON b.doc_id = dl.doc_id),
+            cand AS (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+                     ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT c.doc_id AS doc_id, c.bm25 AS bm25,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cos_sim
+            FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+            ORDER BY cos_sim DESC, doc_id ASC LIMIT 10
         """,
         "docid_assign": """
             SELECT doc_id,

@@ -1898,6 +1898,72 @@ class IndexReader:
             cols.append("poss")
         return present, scorer, cols
 
+    def search_rerank(
+        self, query: str, embeddings_path: str, k: int = 10,
+        n_candidates: int = 100, mode: str = "pruned", window: int = 8,
+        alpha: float = 0.0, query_vec=None, query_vec_id: int | None = None,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> list[tuple[int, float, float]]:
+        """Hybrid retrieval: BM25 top-``n_candidates`` (any mode, incl.
+        'bool'), then rerank by embedding cosine — the RAG-shaped
+        two-stage pattern. Returns [(doc_id, blended_score, bm25)] by
+        (blended desc, doc_id asc); blended = alpha*bm25 +
+        (1-alpha)*cosine (alpha=0 -> pure cosine rerank; alpha=1 ->
+        BM25 order with cosine merely computed).
+
+        The rerank stage is DRIVER-side on purpose: stage 1 already cut
+        the corpus to n_candidates ids, so stage 2 is a pyarrow
+        point-read of n_candidates embedding rows (id-predicate
+        pushdown) + one numpy matmul — no Spark job, same shape at
+        10^12 docs because the candidate count, not the corpus, sizes
+        it. Candidates without an embedding row are dropped (a missing
+        vector cannot be ranked). The query vector comes in directly
+        (``query_vec``) or by id (``query_vec_id``) from the same
+        table."""
+        if (query_vec is None) == (query_vec_id is None):
+            raise ValueError("exactly one of query_vec / query_vec_id")
+        hits = (
+            self.search_bool(query, k=n_candidates) if mode == "bool"
+            else self.search(query, k=n_candidates, mode=mode,
+                             window=window)
+        )
+        if not hits:
+            return []
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(embeddings_path, format="parquet")
+        ids = [int(d) for d, _ in hits]
+        want = sorted(set(ids) | (
+            {int(query_vec_id)} if query_vec_id is not None else set()
+        ))
+        tbl = ds.to_table(columns=[id_col, vec_col],
+                          filter=pads.field(id_col).isin(want))
+        vecs = {
+            int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(tbl.column(id_col).to_pylist(),
+                            tbl.column(vec_col).to_pylist())
+            if v is not None
+        }
+        if query_vec is not None:
+            q = np.asarray(query_vec, dtype=np.float64)
+        else:
+            q = vecs.get(int(query_vec_id))
+            if q is None:
+                raise ValueError(
+                    f"query_vec_id {query_vec_id} not in {embeddings_path}"
+                )
+        qn = float(np.sqrt((q * q).sum()))
+        out = []
+        for d, bm25 in hits:
+            v = vecs.get(int(d))
+            if v is None:
+                continue
+            denom = float(np.sqrt((v * v).sum())) * qn
+            cos = float(v @ q) / denom if denom else 0.0
+            out.append((int(d), alpha * bm25 + (1.0 - alpha) * cos, bm25))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
     def positive_terms(self, query: str, mode: str = "pruned") -> set[str]:
         """The distinct index terms a query scores on — what a snippet
         highlighter should mark. Plain modes: every query term; boolean
