@@ -784,6 +784,28 @@ def _q_hybrid_topk(spark, sf_dir):
     )
 
 
+def _q_facet_topk(spark, sf_dir):
+    # facet counts over query matches (engine: IndexReader.facet_counts —
+    # driver point-read when the matched set is small, distributed
+    # scored-set join + tiny per-value agg otherwise; pytest-verified in
+    # tests/test_facets.py on both paths). Demo: docs containing 'scan'
+    # counted by lang.
+    docs = _docs(spark, sf_dir)
+    matched = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term") == "scan")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        matched.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(5)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_count": _q_tf_count,
@@ -798,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_topk": _q_bool_topk,
         "prefix_topk": _q_prefix_topk,
         "hybrid_topk": _q_hybrid_topk,
+        "facet_topk": _q_facet_topk,
         "docid_assign": _q_docid_assign,
         "dedup_exact": _q_dedup_exact,
         "sim_topk": _q_sim_topk,
@@ -1069,6 +1092,16 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cos_sim
             FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
             ORDER BY cos_sim DESC, doc_id ASC LIMIT 10
+        """,
+        "facet_topk": """
+            WITH matched AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(string_split(text,' ')) AS term
+                FROM documents) WHERE term = 'scan')
+            SELECT d.lang AS lang, count(*)::BIGINT AS n
+            FROM matched m JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+            ORDER BY n DESC, lang ASC LIMIT 5
         """,
         "docid_assign": """
             SELECT doc_id,

@@ -1964,6 +1964,124 @@ class IndexReader:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    FACET_DRIVER_MAX_DOCS = 100_000
+
+    def facet_counts(
+        self, query: str, by: str = "role", k: int = 20,
+        mode: str = "pruned", window: int = 8,
+    ) -> list[tuple[object, int]]:
+        """Matched-document counts per value of a docstore column
+        ('role', 'conv_id', 'turn_idx') over ALL documents matching the
+        query (any mode, incl. 'bool') -> [(value, count)] by
+        (count desc, value asc), top ``k`` values.
+
+        Two-tier like everything else: when the matched postings payload
+        clears the serving nbytes gate AND the matched set is small, the
+        counts come from a driver point-read of the matched tok rows
+        (k-row IO, no Spark job); otherwise a distributed plan joins the
+        full scored set to the docstore (doc_id derived from local_idx +
+        a broadcast shard-offset map — the scored side never leaves its
+        shard until the tiny per-value aggregate)."""
+        if by not in ("role", "conv_id", "turn_idx"):
+            raise ValueError(
+                f"facet column {by!r} not in the docstore "
+                "(role / conv_id / turn_idx)"
+            )
+        hits = self._facet_driver_hits(query, mode, window)
+        if hits == []:
+            return []
+        if hits is not None and len(hits) <= self.FACET_DRIVER_MAX_DOCS:
+            from .build import _tok_path, locate_doc_ids
+
+            import pyarrow.dataset as pads
+
+            loc = locate_doc_ids(self.stats, [int(d) for d, _ in hits])
+            shards = sorted({s for s, _ in loc.values()})
+            locals_ = sorted({li for _, li in loc.values()})
+            ds = pads.dataset(_tok_path(self.index_dir), format="parquet",
+                              partitioning="hive")
+            tbl = ds.to_table(
+                columns=["shard", "local_idx", by],
+                filter=pads.field("shard").isin(shards)
+                & pads.field("local_idx").isin(locals_),
+            )
+            val_of = {
+                (int(s), int(li)): v
+                for s, li, v in zip(tbl.column("shard").to_pylist(),
+                                    tbl.column("local_idx").to_pylist(),
+                                    tbl.column(by).to_pylist())
+            }
+            counts: dict = {}
+            for d, _s in hits:
+                key = loc.get(int(d))
+                if key is None or key not in val_of:
+                    continue
+                v = val_of[key]
+                counts[v] = counts.get(v, 0) + 1
+            out = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            return out[:k]
+        # distributed: full scored set, no global order, tiny final agg
+        from .build import _tok_path
+
+        scored = (
+            self.search_bool_df(query, _all=True) if mode == "bool"
+            else self.search_df(query, mode=mode, window=window, _all=True)
+        )
+        if scored is None:
+            return []
+        items = sorted(
+            (int(s), int(o))
+            for s, o in self.stats["shard_offsets"].items()
+        )
+        offs = self.spark.createDataFrame(
+            items, "shard int, shard_offset long"
+        )
+        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
+            "shard", "local_idx", by
+        )
+        docs = tok.join(F.broadcast(offs), "shard").select(
+            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
+            by,
+        )
+        rows = (
+            scored.select("doc_id")
+            .join(docs, "doc_id")
+            .groupBy(by)
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc(by))
+            .limit(k)
+            .collect()
+        )
+        return [(r[by], int(r["n"])) for r in rows]
+
+    def _facet_driver_hits(self, query, mode, window):
+        """Full matched list [(doc_id, score)] via the driver fast path;
+        [] when the query matches nothing by construction; None when the
+        payload gate refuses (caller must go distributed)."""
+        if mode == "bool":
+            prep = self._bool_prep(query, 1 << 30)
+            if prep is None:
+                return []
+            present, scorer, cols = prep
+            return self._fast_phrase(present, scorer, 1 << 30,
+                                     label="fast_bool", cols=cols)
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return []
+        dfs = self.global_dfs(terms)
+        present = [t for t in terms if dfs[t] > 0]
+        if not present:
+            return []
+        if mode in ("and", "phrase", "near") and len(present) < len(terms):
+            return []
+        if self.fast_path_bytes <= 0 or not self._has_nbytes:
+            return None
+        if sum(self._nbytes_cache.get(t, 0) for t in present) \
+                > self.fast_path_bytes:
+            return None
+        # gate passed: search() is guaranteed to stay on a driver path
+        return self.search(query, k=1 << 30, mode=mode, window=window)
+
     def positive_terms(self, query: str, mode: str = "pruned") -> set[str]:
         """The distinct index terms a query scores on — what a snippet
         highlighter should mark. Plain modes: every query term; boolean
@@ -2004,8 +2122,13 @@ class IndexReader:
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     def search_bool_df(self, query: str, k: int = 10,
-                       max_expansions: int | None = None):
-        prep = self._bool_prep(query, k, max_expansions)
+                       max_expansions: int | None = None,
+                       _all: bool = False):
+        # _all: every matching doc, unordered (facet/export plans — a
+        # global sort of the full matched set is exactly what those
+        # consumers don't want)
+        prep = self._bool_prep(query, (1 << 30) if _all else k,
+                               max_expansions)
         if prep is None:
             return None
         present, scorer, cols = prep
@@ -2013,6 +2136,8 @@ class IndexReader:
             self._postings_for(present).select(*cols), scorer
         )
         self.last_path = "distributed"
+        if _all:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search(
@@ -2119,9 +2244,12 @@ class IndexReader:
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     def search_df(self, query: str, k: int = 10, mode: str = "pruned",
-                  window: int = 8):
+                  window: int = 8, _all: bool = False):
+        # _all: every matching doc, unordered (facet/export plans)
+        if _all:
+            k = 1 << 30
         if mode == "bool":
-            return self.search_bool_df(query, k)
+            return self.search_bool_df(query, k, _all=_all)
         if mode in ("phrase", "near") and not self.stats.get("positions"):
             # checked before any early return: a caller pointing phrase
             # queries at a position-less index should hear about it even
@@ -2183,6 +2311,8 @@ class IndexReader:
             self._postings_for(present).select(*cols), scorer
         )
         self.last_path = "distributed"
+        if _all:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _apply_scorer(self, postings: DataFrame, scorer):

@@ -1,0 +1,72 @@
+"""Facet counts over query matches (IndexReader.facet_counts):
+per-value matched-doc counts for a docstore column, driver point-read
+path and distributed join path both checked against a naive pandas
+count over the oracle's full match list.
+"""
+
+import pytest
+
+from indexer_spark.query import IndexReader
+
+
+def _naive_facet(corpus_pdf, oracle_hits, by, k):
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    counts: dict = {}
+    for d, _s in oracle_hits:
+        v = pdf[by].iloc[int(d)]
+        v = int(v) if by == "turn_idx" else v
+        counts[v] = counts.get(v, 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_facet_counts_both_paths(spark, pos_index, corpus_pdf, oracle_index):
+    index_dir, _ = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    words = str(pdf["text"].iloc[13]).split()
+    q = words[0]
+    want_role = _naive_facet(
+        corpus_pdf, oracle_index.search_bm25(q, k=None), "role", 5)
+    want_conv = _naive_facet(
+        corpus_pdf, oracle_index.search_bm25(q, k=None), "conv_id", 7)
+    r_fast = IndexReader(spark, index_dir)
+    r_dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+    try:
+        assert r_fast.facet_counts(q, by="role", k=5) == want_role
+        assert r_dist.facet_counts(q, by="role", k=5) == want_role
+        assert r_fast.facet_counts(q, by="conv_id", k=7) == want_conv
+        assert r_dist.facet_counts(q, by="conv_id", k=7) == want_conv
+    finally:
+        r_fast.close()
+        r_dist.close()
+
+
+def test_facet_counts_modes_and_errors(spark, pos_index, corpus_pdf,
+                                       oracle_index):
+    index_dir, _ = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    words = str(pdf["text"].iloc[13]).split()
+    a, b = words[0], words[1]
+    r = IndexReader(spark, index_dir)
+    try:
+        # AND-mode facets == naive over conjunctive matches
+        want = _naive_facet(
+            corpus_pdf, oracle_index.search_bm25_and(f"{a} {b}", k=None),
+            "role", 5)
+        assert r.facet_counts(f"{a} {b}", by="role", k=5, mode="and") == want
+        # boolean facets == naive over the boolean match list
+        wantb = _naive_facet(
+            corpus_pdf, oracle_index.search_bm25_bool(f"{a} NOT {b}", k=None),
+            "role", 5)
+        assert r.facet_counts(f"{a} NOT {b}", by="role", k=5,
+                              mode="bool") == wantb
+        # facet totals == match count
+        n_matches = len(oracle_index.search_bm25(a, k=None))
+        got = r.facet_counts(a, by="role", k=100)
+        assert sum(c for _v, c in got) == n_matches
+        # empty / absent queries
+        assert r.facet_counts("zzqqxxyyzz", by="role") == []
+        assert r.facet_counts("the of", by="role") == []
+        with pytest.raises(ValueError, match="facet column"):
+            r.facet_counts(a, by="text")
+    finally:
+        r.close()
