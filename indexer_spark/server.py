@@ -10,8 +10,8 @@ Endpoint parity with the reference:
                           newline-joined file paths; (conv_id, turn_idx)
                           is this engine's document identity
 Extras beyond the reference:
-- ``GET /search?q=...&k=10&mode=pruned&tfidf=0&window=8&snippets=160``
-  -> JSON
+- ``GET /search?q=...&k=10&mode=pruned&tfidf=0&window=8&snippets=160
+  &facets=role`` -> JSON
   results (mode: pruned | exhaustive | and — conjunctive, all terms
   required | phrase — contiguous positional match, positional indexes
   only | near — terms co-occur within `window` tokens, positional
@@ -55,7 +55,8 @@ class QueryServer:
     def __init__(self, spark, index_dir: str, host: str = "127.0.0.1",
                  port: int = 0, k_default: int = 10,
                  warm_hot_terms: int = 32,
-                 source_path: str | None = None):
+                 source_path: str | None = None,
+                 result_cache_size: int = 256):
         # source_path: the transcripts parquet the index was built from;
         # enables &snippets=1 (the index itself stores no raw text — the
         # source table stays the text of record)
@@ -70,6 +71,16 @@ class QueryServer:
             except Exception:
                 pass  # serving still works cold
         self.host, self.port, self.k_default = host, port, k_default
+        # serving-layer RESULT cache (distinct from the decoded-postings
+        # LRU below it, which caches work, not answers): repeat requests
+        # of any mode — bool/near/phrase included, which have no
+        # all-cached scoring shortcut — answer without touching the
+        # reader. Keyed on the reader's snapshot epoch, so an
+        # append/update/rebuild invalidates every cached answer the
+        # moment the reader refreshes onto the new snapshot.
+        self.result_cache_size = result_cache_size
+        self._result_cache: dict = {}
+        self._rc_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -77,6 +88,12 @@ class QueryServer:
 
     def _search(self, q: str, k: int, mode: str, tfidf: bool,
                 window: int = 8, snippets: int = 0) -> list[dict]:
+        key = (self.reader._epoch, q, k, mode, tfidf, window, snippets)
+        if self.result_cache_size:
+            with self._rc_lock:
+                hit = self._result_cache.get(key)
+            if hit is not None:
+                return hit
         hits = (
             self.reader.search_tfidf(q, k) if tfidf
             else self.reader.search(q, k, mode=mode, window=window)
@@ -84,7 +101,32 @@ class QueryServer:
         rows = self.reader.resolve_local(hits)
         if snippets and rows:
             self._attach_snippets(rows, q, mode, max_chars=snippets)
+        if self.result_cache_size:
+            with self._rc_lock:
+                if len(self._result_cache) >= self.result_cache_size:
+                    # insertion-order eviction: dicts preserve it, and a
+                    # full sweep-on-overflow keeps this O(1) amortized
+                    self._result_cache.pop(
+                        next(iter(self._result_cache)))
+                self._result_cache[key] = rows
         return rows
+
+    def _facets(self, q: str, mode: str, window: int, by: str) -> dict:
+        key = (self.reader._epoch, "facets", q, mode, window, by)
+        if self.result_cache_size:
+            with self._rc_lock:
+                hit = self._result_cache.get(key)
+            if hit is not None:
+                return hit
+        counts = self.reader.facet_counts(q, by=by, k=50, mode=mode,
+                                          window=window)
+        out = {str(v): c for v, c in counts}
+        if self.result_cache_size:
+            with self._rc_lock:
+                if len(self._result_cache) >= self.result_cache_size:
+                    self._result_cache.pop(next(iter(self._result_cache)))
+                self._result_cache[key] = out
+        return out
 
     def _attach_snippets(self, rows: list[dict], q: str, mode: str,
                          max_chars: int) -> None:
@@ -172,6 +214,7 @@ class QueryServer:
                         if not (0 <= snippets <= 10_000):
                             raise ValueError(
                                 f"snippets out of range: {snippets}")
+                        facets_by = (qs.get("facets") or [""])[0]
                     except ValueError as e:
                         self._send(400, json.dumps({"error": str(e)}))
                         return
@@ -187,7 +230,15 @@ class QueryServer:
                     except Exception as e:  # surface, don't kill the thread
                         self._send(500, json.dumps({"error": str(e)}))
                         return
-                    self._send(200, json.dumps({"query": q, "hits": rows}))
+                    resp = {"query": q, "hits": rows}
+                    if facets_by:
+                        try:
+                            resp["facets"] = server_self._facets(
+                                q, mode, window, facets_by)
+                        except ValueError as e:
+                            self._send(400, json.dumps({"error": str(e)}))
+                            return
+                    self._send(200, json.dumps(resp))
                 else:
                     self._send(404, f"Route not Allowed: {url.path}",
                                "text/plain")

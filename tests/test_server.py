@@ -256,6 +256,40 @@ def test_serve_snippets_require_source(served):
     assert "source_path" in exc.value.read().decode()
 
 
+def test_serve_result_cache_and_facets(served):
+    """Repeat requests are served from the result cache (the reader is
+    never touched); the cache is keyed on the snapshot epoch so a
+    refresh invalidates it. &facets=col attaches per-value counts."""
+    srv, port, pdf, _ = served
+    q = pdf["text"].iloc[2].split()[0]
+    _status, body1 = _get(port, f"/search?q={q}&k=5&facets=role")
+    d1 = json.loads(body1)
+    assert d1["hits"] and d1["facets"]
+    want = {str(v): c for v, c in srv.reader.facet_counts(q, by="role", k=50)}
+    assert d1["facets"] == want
+    # cache hit: reader.search does not run on the repeat request
+    srv.reader.last_path = None
+    _status, body2 = _get(port, f"/search?q={q}&k=5&facets=role")
+    assert json.loads(body2) == d1
+    assert srv.reader.last_path is None
+    # epoch change invalidates: the same request recomputes
+    real = srv.reader._epoch
+    try:
+        srv.reader._epoch = (real, "bumped")
+        srv.reader.last_path = None
+        _status, body3 = _get(port, f"/search?q={q}&k=5&facets=role")
+        assert json.loads(body3)["hits"] == d1["hits"]
+        assert srv.reader.last_path is not None  # reader ran again
+    finally:
+        srv.reader._epoch = real
+    # bad facet column -> 400
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(port, f"/search?q={q}&facets=nope")
+    assert exc.value.code == 400
+
+
 def test_serve_bool_mode(served):
     """mode=bool serves the boolean language; syntax and pure-negative
     errors come back as 400s."""
