@@ -2054,6 +2054,56 @@ class IndexReader:
         )
         return [(r[by], int(r["n"])) for r in rows]
 
+    def export_matches(
+        self, query: str, out_path: str, mode: str = "pruned",
+        window: int = 8, with_scores: bool = True,
+    ) -> int:
+        """Materialize EVERY document matching the query (any mode,
+        incl. 'bool') as parquet at ``out_path`` with columns (conv_id,
+        turn_idx, doc_id[, score]) — the curation primitive: "give me
+        all turns matching this boolean query" as a dataset, not a
+        top-k. Returns the row count.
+
+        Fully distributed and unordered end-to-end: the full scored set
+        (no global sort — an export has no rank) joins the docstore on a
+        doc_id derived from local_idx + a broadcast shard-offset map, so
+        nothing corpus-sized ever reaches the driver."""
+        scored = (
+            self.search_bool_df(query, _all=True) if mode == "bool"
+            else self.search_df(query, mode=mode, window=window, _all=True)
+        )
+        if scored is None:
+            # empty by construction: write an empty frame with the same
+            # schema so downstream readers see a dataset either way
+            schema = "conv_id string, turn_idx int, doc_id long" + (
+                ", score double" if with_scores else ""
+            )
+            empty = self.spark.createDataFrame([], schema)
+            empty.write.mode("overwrite").parquet(out_path)
+            return 0
+        from .build import _tok_path
+
+        items = sorted(
+            (int(s), int(o))
+            for s, o in self.stats["shard_offsets"].items()
+        )
+        offs = self.spark.createDataFrame(
+            items, "shard int, shard_offset long"
+        )
+        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
+            "shard", "local_idx", "conv_id", "turn_idx"
+        )
+        docs = tok.join(F.broadcast(offs), "shard").select(
+            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
+            "conv_id", "turn_idx",
+        )
+        cols = ["conv_id", "turn_idx", "doc_id"] + (
+            ["score"] if with_scores else []
+        )
+        out = scored.join(docs, "doc_id").select(*cols)
+        out.write.mode("overwrite").parquet(out_path)
+        return self.spark.read.parquet(out_path).count()
+
     def _facet_driver_hits(self, query, mode, window):
         """Full matched list [(doc_id, score)] via the driver fast path;
         [] when the query matches nothing by construction; None when the

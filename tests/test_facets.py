@@ -40,6 +40,40 @@ def test_facet_counts_both_paths(spark, pos_index, corpus_pdf, oracle_index):
         r_dist.close()
 
 
+def test_export_matches(spark, pos_index, corpus_pdf, oracle_index,
+                        tmp_path):
+    """export_matches materializes the FULL match set (scores included)
+    — row-for-row equal to the oracle's unbounded result list."""
+    index_dir, _ = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    words = str(pdf["text"].iloc[13]).split()
+    a, b = words[0], words[1]
+    r = IndexReader(spark, index_dir)
+    out = str(tmp_path / "export")
+    try:
+        n = r.export_matches(f"{a} NOT {b}", out, mode="bool")
+        want = oracle_index.search_bm25_bool(f"{a} NOT {b}", k=None)
+        assert n == len(want)
+        got = {
+            (row["doc_id"], round(row["score"], 9))
+            for row in spark.read.parquet(out).collect()
+        }
+        assert got == {(d, round(s, 9)) for d, s in want}
+        # doc identity columns resolve correctly
+        row = spark.read.parquet(out).orderBy("doc_id").first()
+        d0 = min(d for d, _ in want)
+        assert row["doc_id"] == d0
+        assert row["conv_id"] == pdf["conv_id"].iloc[d0]
+        assert int(row["turn_idx"]) == int(pdf["turn_idx"].iloc[d0])
+        # empty query -> empty dataset with the contract schema
+        n0 = r.export_matches("zzqqxxyyzz", out)
+        assert n0 == 0
+        assert spark.read.parquet(out).columns == \
+            ["conv_id", "turn_idx", "doc_id", "score"]
+    finally:
+        r.close()
+
+
 def test_facet_counts_modes_and_errors(spark, pos_index, corpus_pdf,
                                        oracle_index):
     index_dir, _ = pos_index
