@@ -473,6 +473,43 @@ def _make_tokenizer(shard_base: int = 0, verify_sorted: bool = False,
     return fn
 
 
+def _collect_shard_stats(spark, index_dir, p):
+    """Per-shard counts/offsets of a freshly written tok dir: below
+    DRIVER_META_MAX_SHARDS this is a driver-side footer read (row counts
+    + local_idx maxima from parquet metadata, doc_len column only for
+    total_len) — saves a whole Spark job; at cluster-scale shard counts
+    the distributed agg does the same numbers. Density-checks local_idx
+    per shard. Returns (offsets, counts, n_docs, total_len)."""
+    if p <= DRIVER_META_MAX_SHARDS:
+        per_shard = _tok_shard_stats_local(
+            index_dir, _list_shards(_tok_path(index_dir))
+        )
+    else:
+        per_shard = (
+            spark.read.parquet(_tok_path(index_dir))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("total_len"),
+                F.max("local_idx").alias("max_local"),
+            )
+            .collect()
+        )
+    offsets, counts, acc, total_len = {}, {}, 0, 0
+    for r in sorted(per_shard, key=lambda r: r["shard"]):
+        if r["max_local"] + 1 != r["n"]:
+            # doc-id stability invariant: must fail loudly even under -O
+            raise RuntimeError(
+                f"local_idx not dense within shard {r['shard']} "
+                f"(max_local={r['max_local']}, n={r['n']})"
+            )
+        offsets[int(r["shard"])] = acc
+        counts[int(r["shard"])] = int(r["n"])
+        acc += int(r["n"])
+        total_len += int(r["total_len"] or 0)
+    return offsets, counts, acc, total_len
+
+
 def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     t0 = time.time()
     if cfg.presorted_source:
@@ -532,40 +569,10 @@ def _stage_ids(spark, df, index_dir, cfg: BuildConfig, lineage: str) -> dict:
     _dbg("tokenize+write", t1)
 
     t1 = time.time()
-    # per-shard counts/offsets: below DRIVER_META_MAX_SHARDS this is a
-    # driver-side footer read (row counts + local_idx maxima from parquet
-    # metadata, doc_len column only for total_len) — saves a whole Spark
-    # job per build; at cluster-scale shard counts the distributed agg
-    # does the same numbers
-    if p <= DRIVER_META_MAX_SHARDS:
-        per_shard = _tok_shard_stats_local(
-            index_dir, _list_shards(_tok_path(index_dir))
-        )
-    else:
-        per_shard = (
-            spark.read.parquet(_tok_path(index_dir))
-            .groupBy("shard")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("doc_len").alias("total_len"),
-                F.max("local_idx").alias("max_local"),
-            )
-            .collect()
-        )
+    offsets, counts, n_docs, total_len = _collect_shard_stats(
+        spark, index_dir, p
+    )
     _dbg("stats-agg", t1)
-    offsets, counts, acc, total_len = {}, {}, 0, 0
-    for r in sorted(per_shard, key=lambda r: r["shard"]):
-        if r["max_local"] + 1 != r["n"]:
-            # doc-id stability invariant: must fail loudly even under -O
-            raise RuntimeError(
-                f"local_idx not dense within shard {r['shard']} "
-                f"(max_local={r['max_local']}, n={r['n']})"
-            )
-        offsets[int(r["shard"])] = acc
-        counts[int(r["shard"])] = int(r["n"])
-        acc += int(r["n"])
-        total_len += int(r["total_len"] or 0)
-    n_docs = acc
     avgdl = total_len / n_docs if n_docs else 0.0
     stats = {
         "format_version": FORMAT_VERSION,
@@ -1025,6 +1032,146 @@ def build_index(
     _stage_postings(spark, index_dir, cfg, stats, pending, lineage)
     _stage_term_stats(spark, index_dir)
     return stats
+
+
+def compact_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Rewrite an index into full-size shards WITHOUT retokenizing.
+
+    An append/streaming workload accumulates one small shard per batch
+    (each with its own tok/postings files and term_stats rows); over
+    time the shard count — not the data volume — becomes the cost
+    driver. Compaction re-shards the stored forward index (tok) by the
+    canonical (conv_id, turn_idx) order into ceil(n_docs / shard_docs)
+    shards, reassigns dense doc ids, and reruns the postings + stats
+    stages over the CARRIED terms/tfs[/poss] columns — the expensive
+    lexing work is never repeated (no `text` is ever read; the source
+    table isn't touched at all).
+
+    Produces a NEW immutable index at ``out_dir`` and leaves ``src_dir``
+    untouched — the round-5 serving posture (replicas over immutable
+    snapshots) switches readers over and drops the old dir. Query
+    results are identical to a fresh build_index over the same corpus
+    with the same config (tested, incl. doc_id identity: both orders
+    are the global (conv_id, turn_idx) sort).
+
+    ``cfg.positions=False`` on a positional source DROPS the positions
+    payload (the measured 1.6x postings bytes) — the cheap way off the
+    positional price if phrase/near queries turned out unused. The
+    reverse (adding positions) needs the raw text: use build_index.
+    """
+    src_stats = read_stats(src_dir)
+    src_positions = bool(src_stats.get("positions"))
+    if cfg is None:
+        cfg = BuildConfig(
+            block_size=int(src_stats["block_size"]),
+            k1=float(src_stats["k1"]), b=float(src_stats["b"]),
+            positions=src_positions,
+        )
+    if cfg.positions and not src_positions:
+        raise ValueError(
+            "cannot add positions during compaction (the raw text is "
+            "not stored); rebuild with build_index(positions=True)"
+        )
+    if os.path.abspath(src_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "compaction writes a new immutable index; out_dir must "
+            "differ from src_dir"
+        )
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in (_manifest_path(out_dir), _stats_path(out_dir)):
+        if os.path.exists(stale):
+            os.remove(stale)
+    for stale in (_tok_path(out_dir), _postings_path(out_dir),
+                  _term_stats_path(out_dir), _shard_map_path(out_dir)):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    t0 = time.time()
+    lineage = json.dumps(
+        {"source": "compact", "from": os.path.abspath(src_dir),
+         "src_epoch": int(src_stats.get("epoch", 0)),
+         **cfg.extra_lineage},
+        sort_keys=True,
+    )
+    n_docs = int(src_stats["n_docs"])
+    p = cfg.id_partitions or max(1, math.ceil(n_docs / cfg.shard_docs))
+    carry = ["conv_id", "turn_idx", "role", "doc_len", "terms", "tfs"]
+    if cfg.positions:
+        carry += ["poss", "poss_lens"]
+    tok = spark.read.parquet(_tok_path(src_dir)).select(*carry)
+    parted = (
+        tok.repartitionByRange(p, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def reassign(batches):
+        shard = None
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if shard is None:
+                shard = int(pdf["pid"].iloc[0])
+            n = len(pdf)
+            out = {"local_idx": local + np.arange(n, dtype=np.int64),
+                   "shard": np.full(n, shard, dtype=np.int32)}
+            local += n
+            for c in carry:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    (
+        parted.mapInPandas(
+            reassign,
+            schema=TOK_SCHEMA_POS if cfg.positions else TOK_SCHEMA,
+        )
+        .write.partitionBy("shard")
+        .option("partitionOverwriteMode", "static")
+        .mode("overwrite")
+        .parquet(_tok_path(out_dir))
+    )
+    offsets, counts, n_out, total_len = _collect_shard_stats(
+        spark, out_dir, p
+    )
+    if n_out != n_docs:
+        raise RuntimeError(
+            f"compaction lost rows: src n_docs={n_docs}, rewritten={n_out}"
+        )
+    stats = {
+        "format_version": FORMAT_VERSION,
+        "n_docs": n_docs,
+        "total_len": int(total_len),
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "n_shards": int(p),
+        "shard_map_json_max": int(cfg.shard_map_json_max),
+        "shard_offsets": {str(s): o for s, o in offsets.items()},
+        "shard_counts": {str(s): c for s, c in counts.items()},
+        "positions": bool(cfg.positions),
+    }
+    _write_stats(out_dir, stats)
+    _append_manifest(
+        out_dir,
+        [{
+            "stage": "ids", "shard": -1, "status": "done",
+            "n_terms": 0, "n_postings": 0, "n_bytes": 0,
+            "lineage": lineage, "wall_ms": int((time.time() - t0) * 1000),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }],
+    )
+    _stage_postings(spark, out_dir, cfg, stats, list(range(p)), lineage)
+    _stage_term_stats(spark, out_dir)
+    return read_stats(out_dir)
 
 
 def append_index(
