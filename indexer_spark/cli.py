@@ -67,6 +67,26 @@ def cmd_append(args):
     print(json.dumps({"ok": True, "wall_sec": round(time.time() - t0, 2), **stats}))
 
 
+def cmd_compact(args):
+    from .build import BuildConfig, compact_index, read_stats
+
+    spark = get_session(args)
+    cfg = None
+    if args.shard_docs or args.drop_positions:
+        st = read_stats(args.index)
+        cfg = BuildConfig(
+            shard_docs=args.shard_docs or (1 << 16),
+            block_size=int(st["block_size"]),
+            k1=float(st["k1"]), b=float(st["b"]),
+            positions=bool(st.get("positions")) and not args.drop_positions,
+        )
+    t0 = time.time()
+    stats = compact_index(spark, args.index, args.out, cfg)
+    print(json.dumps({"ok": True, "wall_sec": round(time.time() - t0, 2),
+                      "n_shards": stats["n_shards"],
+                      "n_docs": stats["n_docs"]}))
+
+
 def cmd_query(args):
     from .query import IndexReader
 
@@ -76,7 +96,8 @@ def cmd_query(args):
     if args.tfidf:
         hits = reader.search_tfidf(args.query, args.k)
     else:
-        hits = reader.search(args.query, args.k, mode=args.mode)
+        hits = reader.search(args.query, args.k, mode=args.mode,
+                             window=args.window)
     wall = round(time.time() - t0, 3)
     resolved = reader.resolve(hits).collect() if hits else []
     out = json.dumps({
@@ -142,12 +163,26 @@ def main(argv=None):
     a.add_argument("--snapshot-id", type=int, default=None)
     a.set_defaults(fn=cmd_append)
 
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True,
+                   help="source index (left untouched)")
+    c.add_argument("--out", required=True,
+                   help="new immutable compacted index dir")
+    c.add_argument("--shard-docs", type=int, default=None)
+    c.add_argument("--drop-positions", action="store_true",
+                   help="strip the positions payload during compaction")
+    c.set_defaults(fn=cmd_compact)
+
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["pruned", "exhaustive", "and", "phrase"],
+    q.add_argument("--mode",
+                   choices=["pruned", "exhaustive", "and", "phrase",
+                            "near", "bool"],
                    default="pruned")
+    q.add_argument("--window", type=int, default=8,
+                   help="token window for --mode near")
     q.add_argument("--tfidf", action="store_true")
     q.add_argument("--output", default=None,
                    help="also write the JSON result to this file")

@@ -135,3 +135,27 @@ def test_cli_query_output_file(spark, tmp_path):
     data = json.loads(open(out).read())
     assert data["query"] == q and len(data["hits"]) >= 1
     assert {"conv_id", "turn_idx", "doc_id", "score"} <= set(data["hits"][0])
+
+
+def test_cli_compact_and_bool_query(spark, tmp_path, capsys):
+    """CLI surface for round-5 ops: `compact --index --out` produces a
+    queryable index; `query --mode bool` serves the boolean language."""
+    import json
+
+    from indexer_spark.build import BuildConfig, build_index
+    from indexer_spark.cli import main
+    from indexer_spark.synth import gen_transcripts
+
+    pdf = gen_transcripts(120, seed=5)
+    d = str(tmp_path / "cmpidx")
+    build_index(spark, spark.createDataFrame(pdf), d,
+                BuildConfig(block_size=32, id_partitions=4))
+    out_dir = str(tmp_path / "cmpout")
+    main(["compact", "--index", d, "--out", out_dir, "--shard-docs", "4096"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ok"] and res["n_shards"] == 1
+    w = pdf["text"].iloc[0].split()
+    main(["query", "--index", out_dir,
+          "--query", f"{w[0]} NOT {w[1]}", "--mode", "bool", "--k", "3"])
+    data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "hits" in data
