@@ -2104,6 +2104,106 @@ class IndexReader:
         out.write.mode("overwrite").parquet(out_path)
         return self.spark.read.parquet(out_path).count()
 
+    def search_where(
+        self, query: str, where: dict, k: int = 10,
+        mode: str = "pruned", window: int = 8,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k restricted by docstore attributes: ``where`` maps
+        a docstore column ('role', 'conv_id', 'turn_idx') to a required
+        value or list of values — e.g. {"role": "assistant"} searches
+        only assistant turns. Any query mode, incl. 'bool'. Scores are
+        the UNFILTERED BM25 scores (the filter narrows the candidate
+        set, it does not re-weight).
+
+        Driver path (payload gate + small matched set): filter the full
+        matched list through one point-read of the matched rows'
+        attribute columns. Distributed: the unordered full scored set
+        joins the docstore attributes (broadcast shard-offset map),
+        filters, and ends in TakeOrderedAndProject — the filter never
+        touches postings, and nothing corpus-sized reaches the driver."""
+        cols = sorted(where)
+        for c in cols:
+            if c not in ("role", "conv_id", "turn_idx"):
+                raise ValueError(
+                    f"filter column {c!r} not in the docstore "
+                    "(role / conv_id / turn_idx)"
+                )
+        allow = {
+            c: set(v) if isinstance(v, (list, tuple, set)) else {v}
+            for c, v in where.items()
+        }
+        hits = self._facet_driver_hits(query, mode, window)
+        if hits == []:
+            return []
+        if hits is not None and len(hits) <= self.FACET_DRIVER_MAX_DOCS:
+            from .build import _tok_path, locate_doc_ids
+
+            import pyarrow.dataset as pads
+
+            loc = locate_doc_ids(self.stats, [int(d) for d, _ in hits])
+            ds = pads.dataset(_tok_path(self.index_dir), format="parquet",
+                              partitioning="hive")
+            tbl = ds.to_table(
+                columns=["shard", "local_idx"] + cols,
+                filter=pads.field("shard").isin(
+                    sorted({s for s, _ in loc.values()}))
+                & pads.field("local_idx").isin(
+                    sorted({li for _, li in loc.values()})),
+            )
+            attr = {
+                (int(s), int(li)): vals
+                for s, li, *vals in zip(
+                    tbl.column("shard").to_pylist(),
+                    tbl.column("local_idx").to_pylist(),
+                    *[tbl.column(c).to_pylist() for c in cols],
+                )
+            }
+            out = []
+            for d, s in hits:  # hits arrive (score desc, doc_id asc)
+                key = loc.get(int(d))
+                vals = attr.get(key) if key is not None else None
+                if vals is None:
+                    continue
+                if all(v in allow[c] for c, v in zip(cols, vals)):
+                    out.append((int(d), float(s)))
+                    if len(out) >= k:
+                        break
+            return out
+        from .build import _tok_path
+
+        scored = (
+            self.search_bool_df(query, _all=True) if mode == "bool"
+            else self.search_df(query, mode=mode, window=window, _all=True)
+        )
+        if scored is None:
+            return []
+        items = sorted(
+            (int(s), int(o))
+            for s, o in self.stats["shard_offsets"].items()
+        )
+        offs = self.spark.createDataFrame(
+            items, "shard int, shard_offset long"
+        )
+        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
+            "shard", "local_idx", *cols
+        )
+        docs = tok.join(F.broadcast(offs), "shard").select(
+            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
+            *cols,
+        )
+        cond = None
+        for c in cols:
+            clause = F.col(c).isin([v for v in allow[c]])
+            cond = clause if cond is None else (cond & clause)
+        rows = (
+            scored.join(docs, "doc_id")
+            .filter(cond)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def _facet_driver_hits(self, query, mode, window):
         """Full matched list [(doc_id, score)] via the driver fast path;
         [] when the query matches nothing by construction; None when the

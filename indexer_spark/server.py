@@ -11,7 +11,7 @@ Endpoint parity with the reference:
                           is this engine's document identity
 Extras beyond the reference:
 - ``GET /search?q=...&k=10&mode=pruned&tfidf=0&window=8&snippets=160
-  &facets=role`` -> JSON
+  &facets=role&role=assistant`` -> JSON
   results (mode: pruned | exhaustive | and — conjunctive, all terms
   required | phrase — contiguous positional match, positional indexes
   only | near — terms co-occur within `window` tokens, positional
@@ -87,17 +87,25 @@ class QueryServer:
     # -- request handling --------------------------------------------------
 
     def _search(self, q: str, k: int, mode: str, tfidf: bool,
-                window: int = 8, snippets: int = 0) -> list[dict]:
-        key = (self.reader._epoch, q, k, mode, tfidf, window, snippets)
+                window: int = 8, snippets: int = 0,
+                role: str = "") -> list[dict]:
+        key = (self.reader._epoch, q, k, mode, tfidf, window, snippets,
+               role)
         if self.result_cache_size:
             with self._rc_lock:
                 hit = self._result_cache.get(key)
             if hit is not None:
                 return hit
-        hits = (
-            self.reader.search_tfidf(q, k) if tfidf
-            else self.reader.search(q, k, mode=mode, window=window)
-        )
+        if role:
+            # filtered search: docstore-attribute restriction (tfidf has
+            # no filtered variant; mode filtering covers the BM25 modes)
+            hits = self.reader.search_where(q, {"role": role}, k=k,
+                                            mode=mode, window=window)
+        else:
+            hits = (
+                self.reader.search_tfidf(q, k) if tfidf
+                else self.reader.search(q, k, mode=mode, window=window)
+            )
         rows = self.reader.resolve_local(hits)
         if snippets and rows:
             self._attach_snippets(rows, q, mode, max_chars=snippets)
@@ -215,12 +223,13 @@ class QueryServer:
                             raise ValueError(
                                 f"snippets out of range: {snippets}")
                         facets_by = (qs.get("facets") or [""])[0]
+                        role = (qs.get("role") or [""])[0]
                     except ValueError as e:
                         self._send(400, json.dumps({"error": str(e)}))
                         return
                     try:
                         rows = server_self._search(q, k, mode, tfidf, window,
-                                                   snippets)
+                                                   snippets, role)
                     except ValueError as e:
                         # a bad QUERY (boolean syntax error, pure-negative,
                         # positional mode on a position-less index) is the

@@ -74,6 +74,67 @@ def test_export_matches(spark, pos_index, corpus_pdf, oracle_index,
         r.close()
 
 
+def _naive_where(corpus_pdf, oracle_hits, where, k):
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    allow = {c: set(v) if isinstance(v, (list, tuple, set)) else {v}
+             for c, v in where.items()}
+    out = []
+    for d, s in oracle_hits:  # oracle lists arrive (score desc, id asc)
+        row = pdf.iloc[int(d)]
+        vals = {c: (int(row[c]) if c == "turn_idx" else row[c])
+                for c in allow}
+        if all(vals[c] in allow[c] for c in allow):
+            out.append((int(d), round(s, 9)))
+            if len(out) >= k:
+                break
+    return out
+
+
+def test_search_where_both_paths(spark, pos_index, corpus_pdf,
+                                 oracle_index):
+    index_dir, _ = pos_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    words = str(pdf["text"].iloc[13]).split()
+    q = words[0]
+    cases = [
+        {"role": "assistant"},
+        {"role": ["user", "tool"]},
+        {"role": "assistant", "turn_idx": list(range(0, 8))},
+    ]
+    r_fast = IndexReader(spark, index_dir)
+    r_dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+    try:
+        for where in cases:
+            want = _naive_where(
+                corpus_pdf, oracle_index.search_bm25(q, k=None), where, 10)
+            got_f = [(d, round(s, 9))
+                     for d, s in r_fast.search_where(q, where, k=10)]
+            got_d = [(d, round(s, 9))
+                     for d, s in r_dist.search_where(q, where, k=10)]
+            assert got_f == want, where
+            assert got_d == want, where
+        # boolean mode + filter
+        wantb = _naive_where(
+            corpus_pdf,
+            oracle_index.search_bm25_bool(f"{q} NOT {words[1]}", k=None),
+            {"role": "user"}, 10)
+        assert [(d, round(s, 9)) for d, s in r_fast.search_where(
+            f"{q} NOT {words[1]}", {"role": "user"}, k=10, mode="bool",
+        )] == wantb
+        # scores are the unfiltered scores (filter narrows, not re-weights)
+        unfiltered = dict(oracle_index.search_bm25(q, k=None))
+        for d, s in r_fast.search_where(q, {"role": "assistant"}, k=10):
+            assert s == pytest.approx(unfiltered[d])
+        # empty / error cases
+        assert r_fast.search_where("zzqqxxyyzz", {"role": "user"}) == []
+        assert r_fast.search_where(q, {"role": "no_such_role"}) == []
+        with pytest.raises(ValueError, match="filter column"):
+            r_fast.search_where(q, {"text": "x"})
+    finally:
+        r_fast.close()
+        r_dist.close()
+
+
 def test_facet_counts_modes_and_errors(spark, pos_index, corpus_pdf,
                                        oracle_index):
     index_dir, _ = pos_index

@@ -290,6 +290,21 @@ def test_serve_result_cache_and_facets(served):
     assert exc.value.code == 400
 
 
+def test_serve_role_filter(served):
+    """&role=assistant restricts hits via search_where; scores are the
+    unfiltered BM25 scores."""
+    srv, port, pdf, _ = served
+    q = pdf["text"].iloc[4].split()[0]
+    _s, body = _get(port, f"/search?q={q}&k=8&role=assistant")
+    hits = json.loads(body)["hits"]
+    want = srv.reader.search_where(q, {"role": "assistant"}, k=8)
+    assert [(h["doc_id"], h["score"]) for h in hits] == \
+        [(d, s) for d, s in want]
+    srt = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for h in hits:
+        assert srt["role"].iloc[h["doc_id"]] == "assistant"
+
+
 def test_serve_bool_mode(served):
     """mode=bool serves the boolean language; syntax and pure-negative
     errors come back as 400s."""
