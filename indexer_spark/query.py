@@ -2398,6 +2398,11 @@ class IndexReader:
         # _all: every matching doc, unordered (facet/export plans)
         if _all:
             k = 1 << 30
+            if mode == "pruned":
+                # block-max pruning can skip nothing when every doc is
+                # wanted; the exhaustive scorer does the same work minus
+                # the upper-bound bookkeeping
+                mode = "exhaustive"
         if mode == "bool":
             return self.search_bool_df(query, k, _all=_all)
         if mode in ("phrase", "near") and not self.stats.get("positions"):
