@@ -168,6 +168,62 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return pos, starts
 
 
+def decode_positions_select(
+    blob: bytes, tfs: np.ndarray, sel: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-driven positions decode: only the ``sel``-indexed docs'
+    lists come out of a (shard, term) positions payload. Identical
+    content to slicing decode_positions' output at those segments, but
+    the expensive varint arithmetic runs on the SELECTED bytes only —
+    one cheap continuation-bit pass over the blob locates every varint
+    boundary (the per-doc delta chains never cross docs, so each
+    selected doc decodes independently). Returns (flat positions,
+    segment starts) in ``sel`` order with len(sel)+1 starts.
+
+    This is what makes phrase/near on a hot term affordable: the
+    conjunction typically leaves a candidate set orders of magnitude
+    smaller than the hot term's df, and position bytes of non-candidate
+    docs are never decoded."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    sel = np.asarray(sel, dtype=np.int64)
+    out_tfs = tfs[sel] if sel.size else np.zeros(0, dtype=np.int64)
+    starts_out = np.concatenate(([0], np.cumsum(out_tfs))).astype(np.int64)
+    if sel.size == 0 or starts_out[-1] == 0:
+        return np.zeros(0, dtype=np.int64), starts_out
+    b = np.frombuffer(blob, dtype=np.uint8)
+    if b.size == 0 or (b[-1] & 0x80):
+        raise ValueError("truncated varint stream")
+    ends = np.nonzero((b & 0x80) == 0)[0] + 1  # byte index AFTER varint i
+    if ends.size != int(tfs.sum()):
+        raise ValueError(
+            f"positions payload holds {ends.size} varints, "
+            f"tfs sum to {int(tfs.sum())}"
+        )
+    vstarts = np.empty_like(ends)
+    vstarts[0] = 0
+    vstarts[1:] = ends[:-1]
+    cum = np.concatenate(([0], np.cumsum(tfs)))  # varint index per doc
+    vs, ve = cum[sel], cum[sel + 1]
+    bstart = vstarts[vs]
+    bend = np.where(ve > vs, ends[np.maximum(ve - 1, 0)], bstart)
+    lens_b = bend - bstart
+    total_b = int(lens_b.sum())
+    head = np.cumsum(lens_b) - lens_b
+    gidx = (
+        np.arange(total_b, dtype=np.int64)
+        - np.repeat(head, lens_b)
+        + np.repeat(bstart, lens_b)
+    )
+    vals = varint_decode(
+        b[gidx].tobytes(), expect=int(out_tfs.sum())
+    ).astype(np.int64)
+    cs = np.cumsum(vals)
+    seg0 = starts_out[:-1]
+    base = cs[seg0] - vals[seg0]
+    pos = cs - np.repeat(base, out_tfs)
+    return pos, starts_out
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

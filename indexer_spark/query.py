@@ -41,7 +41,12 @@ from .build import (
     read_manifest,
     read_stats,
 )
-from .compress import decode_block_slice, decode_positions, decode_postings
+from .compress import (
+    decode_block_slice,
+    decode_positions,
+    decode_positions_select,
+    decode_postings,
+)
 from .lexer import term_occurrences, tokenize
 
 _SCORE_SCHEMA = "doc_id long, score double"
@@ -633,9 +638,16 @@ def _make_phrase_scorer(
             cand = cand[np.isin(cand, terms[ti]["docs"], assume_unique=True)]
         if cand.size == 0:
             return empty
-        # only shards whose conjunction survives pay the positions decode
+        # candidate-driven positions decode: only surviving candidates'
+        # lists are ever varint-decoded (decode_positions_select) — on a
+        # hot term the conjunction is typically orders of magnitude
+        # smaller than its df. Selected arrays are in cand order, so
+        # candidate ci's slice is pstarts[ci]:pstarts[ci+1] directly.
         for t in terms:
-            t["pos"], t["pstarts"] = decode_positions(t["poss_raw"], t["tfs"])
+            sel = np.searchsorted(t["docs"], cand)
+            t["pos"], t["pstarts"] = decode_positions_select(
+                t["poss_raw"], t["tfs"], sel
+            )
 
         # positional verification per candidate; anchor = fewest postings
         anchor = terms[by_df[0]]
@@ -647,15 +659,13 @@ def _make_phrase_scorer(
             if not (t is anchor and int(o) == a_off)
         ]
         keep = np.zeros(cand.size, dtype=bool)
-        for ci, d in enumerate(cand):
-            si = int(np.searchsorted(anchor["docs"], d))
-            s, e = anchor["pstarts"][si], anchor["pstarts"][si + 1]
+        for ci in range(cand.size):
+            s, e = anchor["pstarts"][ci], anchor["pstarts"][ci + 1]
             starts_c = anchor["pos"][s:e] - a_off  # phrase-start candidates
             for t, off in rest:
                 if starts_c.size == 0:
                     break
-                si2 = int(np.searchsorted(t["docs"], d))
-                s2, e2 = t["pstarts"][si2], t["pstarts"][si2 + 1]
+                s2, e2 = t["pstarts"][ci], t["pstarts"][ci + 1]
                 starts_c = starts_c[
                     np.isin(starts_c + off, t["pos"][s2:e2],
                             assume_unique=True)
@@ -722,10 +732,11 @@ def _make_near_scorer(
         if cand.size == 0:
             return empty
         if n_required > 1:
-            # only shards whose conjunction survives pay the positions
-            # decode; the verify is vectorized ACROSS candidates (no
-            # per-doc Python loop — measured 8k-candidate loops already
-            # cost ~0.25 s, a non-starter at engine scale):
+            # candidate-driven positions decode (decode_positions_select:
+            # only surviving candidates' lists are varint-decoded, in
+            # cand order), then the verify is vectorized ACROSS
+            # candidates (no per-doc Python loop — measured 8k-candidate
+            # loops already cost ~0.25 s, a non-starter at engine scale):
             # span(min-cover) <= window  iff  some occurrence p (the
             # cover's minimum) has every term occurring in [p, p+window].
             # Encode each occurrence as candidate_label*stride + pos;
@@ -733,29 +744,16 @@ def _make_near_scorer(
             # across docs, so one searchsorted per term answers "does t
             # occur in [p, p+window] of the same doc" for ALL start
             # candidates at once.
-            for t in terms:
-                t["pos"], t["pstarts"] = decode_positions(
-                    t["poss_raw"], t["tfs"]
-                )
             lbl_of = np.arange(cand.size, dtype=np.int64)
-            keys = []
             max_pos = 0
             for t in terms:
-                si = np.searchsorted(t["docs"], cand)
-                starts = t["pstarts"][si]
-                lens = t["pstarts"][si + 1] - starts
-                total = int(lens.sum())
-                # gather the candidate docs' position slices in one shot
-                base = np.repeat(starts, lens)
-                head = np.zeros(cand.size, dtype=np.int64)
-                head[1:] = np.cumsum(lens)[:-1]
-                gidx = np.arange(total, dtype=np.int64) - \
-                    np.repeat(head, lens) + base
-                t["cpos"] = t["pos"][gidx]
-                t["clbl"] = np.repeat(lbl_of, lens)
+                sel = np.searchsorted(t["docs"], cand)
+                t["cpos"], pst = decode_positions_select(
+                    t["poss_raw"], t["tfs"], sel
+                )
+                t["clbl"] = np.repeat(lbl_of, np.diff(pst))
                 if t["cpos"].size:
                     max_pos = max(max_pos, int(t["cpos"].max()))
-                keys.append(t)
             w_eff = min(int(window), max_pos + 1)  # span never exceeds it
             stride = np.int64(max_pos + w_eff + 2)
             for t in terms:
@@ -817,14 +815,6 @@ def _make_bool_scorer(
         term_docs = {t: e["docs"] for t, e in data.items()}
         no_docs = np.empty(0, dtype=np.int64)
 
-        def positions_of(t):
-            e = data[t]
-            if "pos" not in e:
-                e["pos"], e["pstarts"] = decode_positions(
-                    e["poss_raw"], e["tfs"]
-                )
-            return e["pos"], e["pstarts"]
-
         def phrase_fn(ph):
             ents = [data.get(t) for t in ph.terms]
             if any(e is None for e in ents):
@@ -838,9 +828,18 @@ def _make_bool_scorer(
                                     assume_unique=True)]
             if cand.size == 0:
                 return no_docs
+            # candidate-driven positions decode (selected arrays arrive
+            # in cand order: candidate ci's slice is pst[ci]:pst[ci+1]);
             # anchor on the rarest term's first query offset; every other
             # (term, offset) pair intersects its shifted candidates —
             # same verify as _make_phrase_scorer
+            p_of = {}
+            for t in ph.terms:
+                e = data[t]
+                sel = np.searchsorted(e["docs"], cand)
+                p_of[t] = decode_positions_select(
+                    e["poss_raw"], e["tfs"], sel
+                )
             qoff: dict[str, list[int]] = {}
             for t, o in ph.qoffsets:
                 qoff.setdefault(t, []).append(o)
@@ -851,20 +850,17 @@ def _make_bool_scorer(
                 if not (t == anchor_t and o == a_off)
             ]
             keep = np.zeros(cand.size, dtype=bool)
-            a_pos, a_starts = positions_of(anchor_t)
-            a_docs = data[anchor_t]["docs"]
-            for ci, d in enumerate(cand):
-                si = int(np.searchsorted(a_docs, d))
-                s, e = a_starts[si], a_starts[si + 1]
+            a_pos, a_starts = p_of[anchor_t]
+            for ci in range(cand.size):
+                s, e = a_starts[ci], a_starts[ci + 1]
                 starts_c = a_pos[s:e] - a_off
                 for t, off in rest:
                     if starts_c.size == 0:
                         break
-                    p, pst = positions_of(t)
-                    si2 = int(np.searchsorted(data[t]["docs"], d))
-                    s2, e2 = pst[si2], pst[si2 + 1]
+                    p, pst = p_of[t]
                     starts_c = starts_c[
-                        np.isin(starts_c + off, p[s2:e2], assume_unique=True)
+                        np.isin(starts_c + off, p[pst[ci]:pst[ci + 1]],
+                                assume_unique=True)
                     ]
                 keep[ci] = starts_c.size > 0
             return cand[keep]

@@ -50,6 +50,43 @@ def test_positions_codec_roundtrip():
         encode_positions([5, 5, 7])
 
 
+def test_decode_positions_select_matches_full_decode():
+    """Candidate-driven decode == slicing the full decode at the
+    selected segments, across random payloads and selections."""
+    from indexer_spark.compress import decode_positions_select
+
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        n_docs = int(rng.integers(1, 40))
+        blobs, tfs = [], []
+        for _d in range(n_docs):
+            tf = int(rng.integers(1, 12))
+            p = np.sort(rng.choice(50_000, size=tf, replace=False)
+                        ).astype(np.int64)
+            blobs.append(encode_positions(p))
+            tfs.append(tf)
+        blob, tfs = b"".join(blobs), np.array(tfs, dtype=np.int64)
+        full_pos, full_starts = decode_positions(blob, tfs)
+        k = int(rng.integers(0, n_docs + 1))
+        sel = np.sort(rng.choice(n_docs, size=k, replace=False))
+        pos, starts = decode_positions_select(blob, tfs, sel)
+        assert starts[-1] == int(tfs[sel].sum())
+        for i, d in enumerate(sel):
+            assert np.array_equal(
+                pos[starts[i]:starts[i + 1]],
+                full_pos[full_starts[d]:full_starts[d + 1]],
+            )
+    # full selection == full decode
+    pos, starts = decode_positions_select(blob, tfs, np.arange(n_docs))
+    assert np.array_equal(pos, full_pos)
+    assert np.array_equal(starts, full_starts)
+    # empty selection
+    pos0, starts0 = decode_positions_select(blob, tfs, np.array([], int))
+    assert pos0.size == 0 and list(starts0) == [0]
+    with pytest.raises(ValueError, match="varints"):
+        decode_positions_select(blob, tfs[:-1], np.array([0]))
+
+
 def test_encode_positions_doc_batch_identity():
     """The one-pass per-doc batch encoder (what the tokenizer actually
     uses) is byte-identical to per-list encode_positions."""
