@@ -99,6 +99,13 @@ def main():
             return walls, res
 
         r_dist = IndexReader(spark, index_dir, fast_path_bytes=0)
+        # one untimed pass per column family first: the r05 run showed
+        # the FIRST mode absorbing the whole cold page-cache cost of the
+        # hot terms' payloads (and: 9.5 s cold vs ~3 s warm re-timed) —
+        # time modes on a warm cache so the table compares scorers, not
+        # IO order
+        r_dist.search(q2, k=10, mode="and")
+        r_dist.search(q2, k=10, mode="phrase")
         out["dist"] = {}
         for name, fn in {
             "and": lambda: r_dist.search(q2, k=10, mode="and"),
