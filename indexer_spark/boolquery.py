@@ -212,7 +212,7 @@ class _Parser:
             raise ValueError(f"operator {kind} where an atom was expected")
         tok, val = self.take()
         if tok == "WORD" and val.endswith("*"):
-            stem = val.rstrip("*")
+            stem = val[:-1]
             if "*" in stem or not stem:
                 raise ValueError(
                     f"bad wildcard {val!r}: a single trailing * after a "

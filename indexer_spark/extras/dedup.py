@@ -16,6 +16,25 @@ Scale notes (the 100 TB story):
 
 from pyspark.sql import DataFrame, functions as F
 
+# one live persisted frame per operator: each call releases its
+# predecessor, so long-lived sessions (benches, services) never
+# accumulate cached candidate frames (review finding: persists had no
+# unpersist path). A caller still holding the PREVIOUS returned frame
+# merely loses the cache and recomputes — correctness is unaffected.
+_LIVE_CACHE: dict = {}
+
+
+def _persist_slot(name: str, df: DataFrame) -> DataFrame:
+    old = _LIVE_CACHE.get(name)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _LIVE_CACHE[name] = df
+    return df
+
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
@@ -83,7 +102,7 @@ def lsh_candidate_pairs(
     # identical subplans (it does today, but that's an optimizer detail).
     # Spark's LRU cache eviction bounds the footprint; a 100 TB pipeline
     # would checkpoint the signatures to a table here instead.
-    allb = allb.persist()
+    allb = _persist_slot("minhash_bands", allb)
     sized = allb.join(
         allb.groupBy("band", "bucket").count(), ["band", "bucket"]
     ).filter(F.col("count") <= max_bucket_size)
@@ -232,7 +251,7 @@ def simhash_near_duplicates(
         allc = allc.unionByName(x)
     # persist: feeds the block-size agg AND both self-join sides (one
     # snapshot; same rationale as lsh_candidate_pairs)
-    allc = allc.persist()
+    allc = _persist_slot("simhash_chunks", allc)
     allc = allc.join(
         allc.groupBy("chunk", "key").count(), ["chunk", "key"]
     ).filter(F.col("count") <= max_block_size)
@@ -333,7 +352,7 @@ def embedding_near_duplicates(
     # one pandas-UDF bucketing pass, not three (and no reliance on
     # ReuseExchange); LRU eviction bounds memory, a 100 TB pipeline would
     # write the buckets out as a table instead
-    vd = vd.persist()
+    vd = _persist_slot("embedding_buckets", vd)
     # sized-join cap: drop degenerate buckets before the self-join
     sized = vd.join(
         vd.groupBy("bucket").count(), "bucket"

@@ -590,6 +590,48 @@ def _make_and_scorer(
     return fn
 
 
+def _phrase_keep(cand_size: int, p_of: dict, qoff: dict,
+                 anchor_t: str) -> np.ndarray:
+    """Vectorized phrase verification ACROSS candidates (the same
+    label*stride+pos encoding the NEAR scorer uses — a per-candidate
+    Python loop costs ~0.25 s at just 8k candidates): candidate ci
+    matches iff some anchor occurrence, shifted to a phrase start, has
+    every (term, offset) pair present at start+offset in the same doc.
+
+    ``p_of``: term -> (positions, starts) in CANDIDATE order
+    (decode_positions_select); ``qoff``: term -> query offsets. Negative
+    phrase starts are legal (a stop-word-led phrase can overhang
+    position 0 — same semantics as the oracle's phrase_match); the
+    max_off shift keeps every key non-negative."""
+    a_pos, a_starts = p_of[anchor_t]
+    a_off = int(qoff[anchor_t][0])
+    labels = np.arange(cand_size, dtype=np.int64)
+    lbl_a = np.repeat(labels, np.diff(a_starts))
+    max_off = max(int(o) for offs in qoff.values() for o in offs)
+    max_pos = 0
+    for t in qoff:
+        p = p_of[t][0]
+        if p.size:
+            max_pos = max(max_pos, int(p.max()))
+    stride = np.int64(max_pos + 2 * max_off + 2)
+    starts_keys = lbl_a * stride + (a_pos - a_off + max_off)
+    ok = np.ones(starts_keys.size, dtype=bool)
+    for t, offs in qoff.items():
+        p, st = p_of[t]
+        tk = np.repeat(labels, np.diff(st)) * stride + p + max_off
+        for off in offs:
+            off = int(off)
+            if t == anchor_t and off == a_off:
+                continue
+            tgt = starts_keys + off
+            i = np.searchsorted(tk, tgt)
+            ic = np.minimum(i, max(tk.size - 1, 0))
+            ok &= (i < tk.size) & (tk[ic] == tgt)
+    keep = np.zeros(cand_size, dtype=bool)
+    keep[lbl_a[ok]] = True
+    return keep
+
+
 def _make_phrase_scorer(
     idf: dict[str, float], k1, b, avgdl, k, qoffsets: dict,
 ):
@@ -649,28 +691,13 @@ def _make_phrase_scorer(
                 t["poss_raw"], t["tfs"], sel
             )
 
-        # positional verification per candidate; anchor = fewest postings
-        anchor = terms[by_df[0]]
-        a_off = int(anchor["qoffs"][0])
-        rest = [
-            (t, int(o))
-            for t in terms
-            for o in t["qoffs"]
-            if not (t is anchor and int(o) == a_off)
-        ]
-        keep = np.zeros(cand.size, dtype=bool)
-        for ci in range(cand.size):
-            s, e = anchor["pstarts"][ci], anchor["pstarts"][ci + 1]
-            starts_c = anchor["pos"][s:e] - a_off  # phrase-start candidates
-            for t, off in rest:
-                if starts_c.size == 0:
-                    break
-                s2, e2 = t["pstarts"][ci], t["pstarts"][ci + 1]
-                starts_c = starts_c[
-                    np.isin(starts_c + off, t["pos"][s2:e2],
-                            assume_unique=True)
-                ]
-            keep[ci] = starts_c.size > 0
+        # vectorized positional verification; anchor = fewest postings
+        keep = _phrase_keep(
+            cand.size,
+            {t["term"]: (t["pos"], t["pstarts"]) for t in terms},
+            {t["term"]: t["qoffs"] for t in terms},
+            terms[by_df[0]]["term"],
+        )
         cand = cand[keep]
         if cand.size == 0:
             return empty
@@ -829,10 +856,8 @@ def _make_bool_scorer(
             if cand.size == 0:
                 return no_docs
             # candidate-driven positions decode (selected arrays arrive
-            # in cand order: candidate ci's slice is pst[ci]:pst[ci+1]);
-            # anchor on the rarest term's first query offset; every other
-            # (term, offset) pair intersects its shifted candidates —
-            # same verify as _make_phrase_scorer
+            # in cand order), then the same vectorized verification the
+            # phrase mode uses (_phrase_keep)
             p_of = {}
             for t in ph.terms:
                 e = data[t]
@@ -843,26 +868,7 @@ def _make_bool_scorer(
             qoff: dict[str, list[int]] = {}
             for t, o in ph.qoffsets:
                 qoff.setdefault(t, []).append(o)
-            anchor_t = by_size[0]
-            a_off = qoff[anchor_t][0]
-            rest = [
-                (t, o) for t in ph.terms for o in qoff[t]
-                if not (t == anchor_t and o == a_off)
-            ]
-            keep = np.zeros(cand.size, dtype=bool)
-            a_pos, a_starts = p_of[anchor_t]
-            for ci in range(cand.size):
-                s, e = a_starts[ci], a_starts[ci + 1]
-                starts_c = a_pos[s:e] - a_off
-                for t, off in rest:
-                    if starts_c.size == 0:
-                        break
-                    p, pst = p_of[t]
-                    starts_c = starts_c[
-                        np.isin(starts_c + off, p[pst[ci]:pst[ci + 1]],
-                                assume_unique=True)
-                    ]
-                keep[ci] = starts_c.size > 0
+            keep = _phrase_keep(cand.size, p_of, qoff, by_size[0])
             return cand[keep]
 
         cand = eval_docs(pq.root, term_docs, phrase_fn)
@@ -1960,6 +1966,28 @@ class IndexReader:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    def _docstore_docids(self, cols: list[str]):
+        """Docstore rows with the absolute doc_id derived distributed:
+        local_idx + a broadcast shard-offset map — the join key the
+        facet / export / filtered-search plans share. Returns a
+        DataFrame (doc_id, *cols)."""
+        from .build import _tok_path
+
+        items = sorted(
+            (int(s), int(o))
+            for s, o in self.stats["shard_offsets"].items()
+        )
+        offs = self.spark.createDataFrame(
+            items, "shard int, shard_offset long"
+        )
+        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
+            "shard", "local_idx", *cols
+        )
+        return tok.join(F.broadcast(offs), "shard").select(
+            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
+            *cols,
+        )
+
     FACET_DRIVER_MAX_DOCS = 100_000
 
     def facet_counts(
@@ -2017,28 +2045,13 @@ class IndexReader:
             out = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             return out[:k]
         # distributed: full scored set, no global order, tiny final agg
-        from .build import _tok_path
-
         scored = (
             self.search_bool_df(query, _all=True) if mode == "bool"
             else self.search_df(query, mode=mode, window=window, _all=True)
         )
         if scored is None:
             return []
-        items = sorted(
-            (int(s), int(o))
-            for s, o in self.stats["shard_offsets"].items()
-        )
-        offs = self.spark.createDataFrame(
-            items, "shard int, shard_offset long"
-        )
-        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
-            "shard", "local_idx", by
-        )
-        docs = tok.join(F.broadcast(offs), "shard").select(
-            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
-            by,
-        )
+        docs = self._docstore_docids([by])
         rows = (
             scored.select("doc_id")
             .join(docs, "doc_id")
@@ -2077,22 +2090,7 @@ class IndexReader:
             empty = self.spark.createDataFrame([], schema)
             empty.write.mode("overwrite").parquet(out_path)
             return 0
-        from .build import _tok_path
-
-        items = sorted(
-            (int(s), int(o))
-            for s, o in self.stats["shard_offsets"].items()
-        )
-        offs = self.spark.createDataFrame(
-            items, "shard int, shard_offset long"
-        )
-        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
-            "shard", "local_idx", "conv_id", "turn_idx"
-        )
-        docs = tok.join(F.broadcast(offs), "shard").select(
-            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
-            "conv_id", "turn_idx",
-        )
+        docs = self._docstore_docids(["conv_id", "turn_idx"])
         cols = ["conv_id", "turn_idx", "doc_id"] + (
             ["score"] if with_scores else []
         )
@@ -2165,28 +2163,13 @@ class IndexReader:
                     if len(out) >= k:
                         break
             return out
-        from .build import _tok_path
-
         scored = (
             self.search_bool_df(query, _all=True) if mode == "bool"
             else self.search_df(query, mode=mode, window=window, _all=True)
         )
         if scored is None:
             return []
-        items = sorted(
-            (int(s), int(o))
-            for s, o in self.stats["shard_offsets"].items()
-        )
-        offs = self.spark.createDataFrame(
-            items, "shard int, shard_offset long"
-        )
-        tok = self.spark.read.parquet(_tok_path(self.index_dir)).select(
-            "shard", "local_idx", *cols
-        )
-        docs = tok.join(F.broadcast(offs), "shard").select(
-            (F.col("local_idx") + F.col("shard_offset")).alias("doc_id"),
-            *cols,
-        )
+        docs = self._docstore_docids(cols)
         cond = None
         for c in cols:
             clause = F.col(c).isin([v for v in allow[c]])
@@ -2204,6 +2187,16 @@ class IndexReader:
         """Full matched list [(doc_id, score)] via the driver fast path;
         [] when the query matches nothing by construction; None when the
         payload gate refuses (caller must go distributed)."""
+        if mode in ("phrase", "near") and not self.stats.get("positions"):
+            # surfaced before any empty-by-construction early return,
+            # matching search_df's contract: a caller pointing positional
+            # facets/filters at a position-less index must hear about it
+            # even when this particular query would come back empty
+            raise ValueError(
+                f"{mode} search needs an index built with "
+                "BuildConfig(positions=True); this index has no "
+                "positions payload"
+            )
         if mode == "bool":
             prep = self._bool_prep(query, 1 << 30)
             if prep is None:

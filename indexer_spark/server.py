@@ -97,8 +97,11 @@ class QueryServer:
             if hit is not None:
                 return hit
         if role:
-            # filtered search: docstore-attribute restriction (tfidf has
-            # no filtered variant; mode filtering covers the BM25 modes)
+            if tfidf:
+                # no filtered TF-IDF variant exists; silently answering
+                # with BM25 scores would mislabel the scoring semantics
+                raise ValueError("role filtering is not supported with "
+                                 "tfidf=1 (BM25 modes only)")
             hits = self.reader.search_where(q, {"role": role}, k=k,
                                             mode=mode, window=window)
         else:

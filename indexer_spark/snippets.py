@@ -37,7 +37,10 @@ def _best_window(spans, max_chars: int) -> tuple[int, int]:
     i = 0
     for j, (t, _s, e) in enumerate(spans):
         counts[t] = counts.get(t, 0) + 1
-        while e - spans[i][1] > max_chars:
+        # i < j: a single span longer than the budget IS its own window
+        # (the match must be shown regardless); without the bound the
+        # shrink walks past j and indexes off the end
+        while i < j and e - spans[i][1] > max_chars:
             ti = spans[i][0]
             counts[ti] -= 1
             if not counts[ti]:

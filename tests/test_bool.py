@@ -182,12 +182,12 @@ def test_parse_prefix_atoms():
 
     assert parse("sca*").root == Prefix("sca")
     assert parse("SCA*").root == Prefix("sca")  # lowercased, NOT stemmed
-    assert parse("ab**").root == Prefix("ab")
     r = parse("sca* NOT merge").root
     assert isinstance(r, And) and r.pos == (Prefix("sca"),)
     pq = parse("sca* OR hash")
     assert pq.has_prefix and pq.pos_terms == ["hash"]  # prefix unexpanded
-    for bad in ("*", "a*b*"):
+    # exactly ONE trailing star, nothing else: the documented form
+    for bad in ("*", "a*b*", "ab**", "**"):
         with pytest.raises(ValueError):
             parse(bad)
 

@@ -165,3 +165,24 @@ def test_facet_counts_modes_and_errors(spark, pos_index, corpus_pdf,
             r.facet_counts(a, by="text")
     finally:
         r.close()
+
+
+def test_positional_facets_need_positions(spark, built_index, corpus_pdf):
+    """facet_counts/search_where surface the positions=True requirement
+    even for queries that would be empty by construction (same contract
+    as search_df)."""
+    index_dir, _ = built_index
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    w = str(pdf["text"].iloc[3]).split()[0]
+    r = IndexReader(spark, index_dir)
+    try:
+        for fn in (
+            lambda: r.facet_counts(f"{w} zzqqxxyyzz", mode="phrase"),
+            lambda: r.facet_counts(w, mode="near"),
+            lambda: r.search_where(f"{w} zzqqxxyyzz", {"role": "user"},
+                                   mode="near"),
+        ):
+            with pytest.raises(ValueError, match="positions=True"):
+                fn()
+    finally:
+        r.close()

@@ -305,6 +305,17 @@ def test_serve_role_filter(served):
         assert srt["role"].iloc[h["doc_id"]] == "assistant"
 
 
+def test_serve_role_with_tfidf_is_400(served):
+    _, port, pdf, _ = served
+    q = pdf["text"].iloc[4].split()[0]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(port, f"/search?q={q}&tfidf=1&role=assistant")
+    assert exc.value.code == 400
+    assert "tfidf" in exc.value.read().decode()
+
+
 def test_serve_bool_mode(served):
     """mode=bool serves the boolean language; syntax and pure-negative
     errors come back as 400s."""

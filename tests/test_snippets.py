@@ -74,6 +74,18 @@ def test_make_snippet_edges():
     assert [txt[s:e] for _, s, e in out["matches"]] == ["lemon"]
 
 
+def test_make_snippet_oversized_single_span():
+    """A matched token longer than the whole budget must render as its
+    own window, never crash (was an IndexError reachable from the
+    server's &snippets=N)."""
+    assert make_snippet("hello world", {"hello"}, max_chars=2)[
+        "matches"] == [["hello", 0, 5]]
+    long_tok = "a" * 300
+    out = make_snippet(f"x {long_tok} y", {tokenize(long_tok)[0]},
+                       max_chars=160)
+    assert out["matches"] and long_tok in out["snippet"]
+
+
 def test_make_snippet_budget_respected():
     import numpy as np
 
