@@ -1036,54 +1036,33 @@ def _make_pruned_scorer(
     return fn
 
 
-def _warm_worker_local(index_dir: str, epoch: tuple, terms: list[str],
-                       block_size: int, budget_bytes: int) -> int:
-    """Worker-side body of IndexReader.warm_worker_caches: decode every
-    block of the given terms' postings into THIS process's module-level
+def _warm_install_entries(payload, block_size: int,
+                          budget_bytes: int) -> int:
+    """Worker-side half of IndexReader.warm_worker_caches: slice the
+    driver-decoded per-(shard, term) arrays at block boundaries (views,
+    no copies) and install them into THIS process's module-level
     _DECODED_CACHE, under the same keys the pruned distributed scorer
     looks up (ckey + block_idx). Runs inside a Spark task — the module
     instance here is the worker's own, so entries persist across tasks
-    and queries for the worker's lifetime. Hottest-first term order so a
-    budget cut drops the tail, not the head. Returns blocks warmed."""
-    import pyarrow.dataset as pads
-
+    and queries for the worker's lifetime. ``payload`` is a list of
+    (ckey, d, tf, dl) with arrays already cut to whole shipped blocks.
+    Returns blocks installed (or already present)."""
     cache = _DECODED_CACHE
     # worker cap raise is sticky for the worker's lifetime — deliberate:
     # a warmed worker pool IS the deployment (per-executor cache sizing
     # is cluster config, not per-reader state like the driver's)
     if cache.max_bytes < budget_bytes + (64 << 20):
         cache.max_bytes = budget_bytes + (64 << 20)
-    ds = pads.dataset(
-        _postings_path(index_dir), format="parquet", partitioning="hive"
-    )
-    tbl = ds.to_table(
-        columns=["shard", "term", "df", "docs", "tfs", "dls", "blocks"],
-        filter=pads.field("term").isin(terms),
-    )
-    by_term: dict[str, list] = {}
-    for sh, t, df, docs, tfs, dls, blocks in zip(
-        tbl.column("shard").to_pylist(), tbl.column("term").to_pylist(),
-        tbl.column("df").to_pylist(), tbl.column("docs").to_pylist(),
-        tbl.column("tfs").to_pylist(), tbl.column("dls").to_pylist(),
-        tbl.column("blocks").to_pylist(),
-    ):
-        by_term.setdefault(t, []).append((sh, df, docs, tfs, dls, blocks))
-    spent = warmed = 0
-    for t in terms:
-        for sh, df, docs, tfs, dls, blocks in by_term.get(t, ()):
-            ckey = (epoch, int(sh), t, int(df), len(docs))
-            for bi in range(len(blocks)):
-                if spent > budget_bytes:
-                    return warmed
-                key = ckey + (bi,)
-                if cache.get(key) is None:
-                    sl = decode_block_slice(
-                        docs, tfs, dls, blocks, bi, bi + 1, int(df),
-                        block_size=block_size,
-                    )
-                    cache.put(key, sl)
-                    spent += sum(a.nbytes for a in sl)
-                warmed += 1
+    warmed = 0
+    for ckey, d, tf, dl in payload:
+        n = d.size
+        for bi in range((n + block_size - 1) // block_size):
+            s = bi * block_size
+            e = min(s + block_size, n)
+            key = ckey + (bi,)
+            if cache.get(key) is None:
+                cache.put(key, (d[s:e], tf[s:e], dl[s:e]))
+            warmed += 1
     return warmed
 
 
@@ -1451,20 +1430,34 @@ class IndexReader:
                            force: bool = False) -> int:
         """Best-effort pre-decode of the hottest terms' postings blocks
         into Spark Python workers' decoded caches (the distributed analog
-        of warm_hot_terms, which warms only the driver process): one job
-        with defaultParallelism single-row tasks, each running
-        _warm_worker_local in its worker. Spark REUSES Python workers
-        across tasks, so one task per parallelism slot does NOT guarantee
-        one task per live worker — some workers can stay cold and the
-        return value then overstates coverage; first queries on a cold
-        worker still pay the decode (latency-only, never correctness).
-        After executor (re)start this still removes the common-case
-        first-hot-query decode. Budget is per worker. Auto-skips (returns
-        0) when the index has >= WARM_WORKERS_MAX_SHARDS shards unless
-        force=True — at that size the warm costs a near-full extra scan
-        per worker and lazy LRU fill is the right default. Returns min
-        blocks warmed by any task (0 => at least one task warmed
-        nothing, or the gate skipped the warm)."""
+        of warm_hot_terms, which warms only the driver process).
+
+        Decode-once / ship-many: the driver reads the hot terms' payload
+        ONCE (pyarrow, term-pruned), varint-decodes each (shard, term)
+        list in ONE vectorized pass and slices it at block boundaries —
+        value-identical to the per-block decode_block_slice the scorers
+        use (the whole-list cumsum restores exactly last_doc_id-of-
+        previous-block + in-block gap cumsum) — then broadcasts the
+        decoded entries and runs one defaultParallelism-task job whose
+        workers just install them (_warm_install_entries). The previous
+        design had every worker redundantly re-read AND re-decode the
+        payload block-by-block (~5 small numpy calls per 128-posting
+        block × tens of thousands of blocks × every worker), which
+        dominated the warm wall (measured 18-41 s at 2M turns/32 workers;
+        the broadcast form does the decode once and ships bytes).
+
+        Spark REUSES Python workers across tasks, so one task per
+        parallelism slot does NOT guarantee one task per live worker —
+        some workers can stay cold and the return value then overstates
+        coverage; first queries on a cold worker still pay the decode
+        (latency-only, never correctness). After executor (re)start this
+        still removes the common-case first-hot-query decode. Budget
+        bounds the decoded bytes shipped (hottest-first; the cut drops
+        the tail). Auto-skips (returns 0) when the index has >=
+        WARM_WORKERS_MAX_SHARDS shards unless force=True — at that size
+        the warmed set is a sliver of the index and lazy LRU fill is the
+        right default. Returns min entries installed by any task (0 =>
+        at least one task warmed nothing, or the gate skipped)."""
         if not force:
             n_shards = int(self.stats.get("n_shards", 0))
             if n_shards >= self.WARM_WORKERS_MAX_SHARDS:
@@ -1472,30 +1465,83 @@ class IndexReader:
         rows = self._top_terms(n_terms)
         if not rows:
             return 0
-        index_dir, epoch = self.index_dir, self._epoch
+        import pyarrow.dataset as pads
+
+        epoch = self._epoch
         block_size = int(self.stats["block_size"])
         terms = [t for t, _, _ in rows]
+        tbl = self._post_table(
+            columns=["shard", "term", "df", "docs", "tfs", "dls"],
+            filter=pads.field("term").isin(terms),
+        )
+        by_term: dict[str, list] = {}
+        for sh, t, df, docs, tfs, dls in zip(
+            tbl.column("shard").to_pylist(), tbl.column("term").to_pylist(),
+            tbl.column("df").to_pylist(), tbl.column("docs").to_pylist(),
+            tbl.column("tfs").to_pylist(), tbl.column("dls").to_pylist(),
+        ):
+            by_term.setdefault(t, []).append((sh, df, docs, tfs, dls))
+        payload: list[tuple] = []
+        spent = 0
+        full = False
+        for t in terms:  # hottest-first: a budget cut drops the tail
+            for sh, df, docs, tfs, dls in by_term.get(t, ()):
+                df = int(df)
+                d_full, tf_full, dl_full = decode_postings(
+                    docs, tfs, dls, df
+                )
+                per_post = (
+                    d_full.itemsize + tf_full.itemsize + dl_full.itemsize
+                )
+                ckey = (epoch, int(sh), t, df, len(docs))
+                # whole blocks until the budget trips (checked BEFORE
+                # each block, so the first block always ships)
+                ship = 0
+                for bi in range((df + block_size - 1) // block_size):
+                    if spent > budget_bytes:
+                        full = True
+                        break
+                    e = min((bi + 1) * block_size, df)
+                    spent += (e - ship) * per_post
+                    ship = e
+                if ship:
+                    payload.append((
+                        ckey, d_full[:ship], tf_full[:ship], dl_full[:ship]
+                    ))
+                if full:
+                    break
+            if full:
+                break
+        if not payload:
+            return 0
         par = self.spark.sparkContext.defaultParallelism
+        bc = self.spark.sparkContext.broadcast(payload)
 
         def task(batches):
             import pandas as pd_
 
             # runtime import => the WORKER's module instance (a direct
             # closure ref would ship the driver's cache by value)
-            from indexer_spark.query import _warm_worker_local
+            from indexer_spark.query import _warm_install_entries
 
-            n = _warm_worker_local(
-                index_dir, epoch, terms, block_size, budget_bytes
-            )
+            n = _warm_install_entries(bc.value, block_size, budget_bytes)
             for _pdf in batches:
                 yield pd_.DataFrame({"n": [n]})
 
-        out = (
-            self.spark.range(0, par, 1, par)
-            .mapInPandas(task, "n long")
-            .agg(F.min("n").alias("n"))
-            .collect()
-        )
+        try:
+            out = (
+                self.spark.range(0, par, 1, par)
+                .mapInPandas(task, "n long")
+                .agg(F.min("n").alias("n"))
+                .collect()
+            )
+        finally:
+            try:
+                # workers keep the installed arrays; the broadcast file
+                # and registry copy are no longer needed
+                bc.destroy()
+            except Exception:
+                pass
         return int(out[0]["n"]) if out else 0
 
     def warm_hot_terms(self, n_terms: int = 16,
