@@ -1618,6 +1618,29 @@ class IndexReader:
         st = self.stats
         warmed, spent = 0, 0
         proj = 40 if raw else 16  # bytes/posting across the stored slots
+        # ONE term-pruned payload read for every candidate term instead
+        # of one dataset scan per term: 16 per-term reads each paid the
+        # row-group pruning walk over every shard dir (measured ~40% of
+        # the warm wall at 2M turns/32 shards). The budget loop below
+        # still decides — in hottest-first order — which terms actually
+        # decode; a budget break merely leaves some prefetched rows
+        # unused (the adaptive default budget is sized to hold them all).
+        ptbl_all = self._post_table(
+            columns=["shard", "term", "df", "docs", "tfs", "dls"],
+            filter=pads.field("term").isin([t for t, _, _ in rows]),
+        )
+        rows_by_term: dict[str, list] = {}
+        for sh, t_r, df_r, docs, tfs, dls in zip(
+            ptbl_all.column("shard").to_pylist(),
+            ptbl_all.column("term").to_pylist(),
+            ptbl_all.column("df").to_pylist(),
+            ptbl_all.column("docs").to_pylist(),
+            ptbl_all.column("tfs").to_pylist(),
+            ptbl_all.column("dls").to_pylist(),
+        ):
+            rows_by_term.setdefault(t_r, []).append(
+                (sh, df_r, docs, tfs, dls)
+            )
         for t, df, nb in rows:
             # projected stored size is exact: the -2 entry is one int64
             # id + one float64 normpart per posting = 16 bytes x df
@@ -1628,17 +1651,7 @@ class IndexReader:
                 break
             self._df_cache[t] = int(df)
             self._nbytes_cache[t] = int(nb or 0)
-            ptbl = self._post_table(
-                columns=["shard", "term", "df", "docs", "tfs", "dls"],
-                filter=pads.field("term") == t,
-            )
-            for sh, df_r, docs, tfs, dls in zip(
-                ptbl.column("shard").to_pylist(),
-                ptbl.column("df").to_pylist(),
-                ptbl.column("docs").to_pylist(),
-                ptbl.column("tfs").to_pylist(),
-                ptbl.column("dls").to_pylist(),
-            ):
+            for sh, df_r, docs, tfs, dls in rows_by_term.get(t, ()):
                 base = (self._epoch, int(sh), t, int(df_r), len(docs))
                 need_norm = _DECODED_CACHE.get(base + (-2,)) is None
                 need_raw = raw and _DECODED_CACHE.get(base + (-1,)) is None

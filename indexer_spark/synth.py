@@ -184,6 +184,7 @@ def transcripts_spark(
     import pandas as pd_  # local alias shipped to executors in the closure
 
     vocab = np.array(make_vocab(vocab_size, seed) + list(ADVERSARIAL))
+    vocab_list = vocab.tolist()  # pa.array source (rebuilt per task, tiny)
     probs = _zipf_probs(len(vocab))
     cum = np.cumsum(probs)
     cum[-1] = 1.0
@@ -193,6 +194,14 @@ def transcripts_spark(
     sd = np.uint64(seed)
 
     def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # vocab as an Arrow array once per task: word draws become a C
+        # take() + per-doc space-join (binary_join) instead of a Python
+        # " ".join over every drawn word — the join loop dominated synth
+        # wall at 2M turns (strings are built once, in Arrow buffers)
+        vocab_pa = pa.array(vocab_list, type=pa.string())
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.uint64)
             n = ids.size
@@ -215,11 +224,14 @@ def transcripts_spark(
             )
             u = hw.astype(np.float64) / 2**64
             widx = np.searchsorted(cum, u, side="right")
-            words = vocab[np.clip(widx, 0, len(vocab) - 1)]
+            words_pa = vocab_pa.take(
+                pa.array(np.clip(widx, 0, len(vocab) - 1))
+            )
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            texts = [
-                " ".join(words[bounds[i]: bounds[i + 1]]) for i in range(n)
-            ]
+            doc_lists = pa.ListArray.from_arrays(
+                pa.array(bounds, type=pa.int32()), words_pa
+            )
+            texts = pc.binary_join(doc_lists, " ").to_pandas()
             rl = roles[role_ix]
             tool = np.where(
                 rl == "tool",
