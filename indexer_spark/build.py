@@ -92,9 +92,12 @@ POSTINGS_SCHEMA = (
 
 # positional postings carry one extra payload column: the doc-ordered
 # concatenation of per-doc position blobs (lengths recoverable from tfs,
-# so no offset table is stored). Every non-phrase query path selects
-# explicit columns, so the column costs nothing unless a phrase asks.
-POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", poss binary"
+# so no offset table is stored), plus its per-term byte size so the
+# reader's fast-path admission gate can count the positions payload
+# WITHOUT reading it (term_stats aggregates poss_nbytes the same way it
+# aggregates nbytes). Every non-phrase query path selects explicit
+# columns, so the columns cost nothing unless a phrase asks.
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", poss binary, poss_nbytes long"
 
 
 @dataclass
@@ -620,7 +623,7 @@ def _make_postings_builder(
     empty_cols = ["shard", "term", "df", "nbytes", "docs", "tfs", "dls",
                   "blocks"]
     if positions:
-        empty_cols = empty_cols + ["poss"]
+        empty_cols = empty_cols + ["poss", "poss_nbytes"]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -741,6 +744,9 @@ def _make_postings_builder(
         }
         if positions:
             out_d["poss"] = poss_col
+            # per-term positions payload bytes, known for free here (the
+            # fast-path gate reads them via term_stats, never the payload)
+            out_d["poss_nbytes"] = np.asarray(term_bytes, dtype=np.int64)
         out = pd.DataFrame(out_d)
         # sentinel meta row FIRST (META_TERM sorts before all real terms,
         # preserving the term-sorted layout): per-(shard, task) metrics the
@@ -762,6 +768,9 @@ def _make_postings_builder(
         }
         if positions:
             meta_d["poss"] = [b""]
+            meta_d["poss_nbytes"] = np.array(
+                [int(np.asarray(term_bytes).sum())], dtype=np.int64
+            )
         meta = pd.DataFrame(meta_d)
         return pd.concat([meta, out], ignore_index=True)
 
@@ -959,16 +968,28 @@ def _stage_postings(
 
 
 def _stage_term_stats(spark, index_dir) -> None:
-    post = spark.read.schema(POSTINGS_SCHEMA).parquet(_postings_path(index_dir))
+    positional = bool(read_stats(index_dir).get("positions"))
+    schema = POSTINGS_SCHEMA_POS if positional else POSTINGS_SCHEMA
+    post = spark.read.schema(schema).parquet(_postings_path(index_dir))
     # nbytes = compressed postings payload per term: the reader's driver
     # fast path keys on it. Read from the stored per-row column — this
-    # scan touches only (term, df, nbytes), never the payload bytes.
-    # Sentinel meta rows are bookkeeping, not terms. coalesce: NULL nbytes
-    # (mixed-format index) must degrade to 0, never crash global_dfs.
-    ts = post.filter(F.col("term") != META_TERM).groupBy("term").agg(
+    # scan touches only (term, df, nbytes[, poss_nbytes]), never the
+    # payload bytes. Sentinel meta rows are bookkeeping, not terms.
+    # coalesce: NULL nbytes (mixed-format index) must degrade to 0, never
+    # crash global_dfs. Positional indexes aggregate poss_nbytes the same
+    # way so the phrase fast-path gate can count the positions payload;
+    # shards written before the column existed contribute NULLs (sum
+    # skips them — the gate then under-counts those shards, which errs
+    # permissive exactly like the pre-column behavior it replaces).
+    aggs = [
         F.sum("df").alias("df"),
         F.coalesce(F.sum("nbytes"), F.lit(0)).alias("nbytes"),
-    )
+    ]
+    if positional:
+        aggs.append(
+            F.coalesce(F.sum("poss_nbytes"), F.lit(0)).alias("poss_nbytes")
+        )
+    ts = post.filter(F.col("term") != META_TERM).groupBy("term").agg(*aggs)
     np_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 8)
     # hash repartition + in-file term sort (NOT repartitionByRange, whose
     # RangePartitioner adds a whole sampling job per build): global_dfs'

@@ -590,6 +590,50 @@ def _make_and_scorer(
     return fn
 
 
+def _positions_slice(pos: np.ndarray, starts: np.ndarray,
+                     tfs: np.ndarray, sel: np.ndarray):
+    """Select docs' position lists out of a FULL decoded (pos, starts)
+    pair — value-identical to decode_positions_select on the raw blob,
+    but a pure gather (no varint arithmetic). Returns (flat positions,
+    segment starts) in ``sel`` order with len(sel)+1 starts."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    sel = np.asarray(sel, dtype=np.int64)
+    out_tfs = tfs[sel] if sel.size else np.zeros(0, dtype=np.int64)
+    starts_out = np.concatenate(([0], np.cumsum(out_tfs))).astype(np.int64)
+    total = int(starts_out[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), starts_out
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(starts_out[:-1], out_tfs)
+        + np.repeat(starts[sel], out_tfs)
+    )
+    return pos[gather], starts_out
+
+
+#: cache the FULL decoded positions of a (shard, term) once candidates
+#: cover at least 1/this of its postings: hot-term phrase/near queries
+#: (where the conjunction leaves a large candidate set) then skip the
+#: varint work on every repeat, while selective queries keep the cheap
+#: candidate-driven decode and never pollute the cache
+_POSS_CACHE_MIN_FRACTION = 4
+
+
+def _positions_for(poss_raw, tfs, sel, base_key, cache, df: int):
+    """(positions, starts) for the ``sel``-indexed docs of one
+    (shard, term) payload, through the decoded-positions LRU slot (-3)
+    when present or worth creating (see _POSS_CACHE_MIN_FRACTION)."""
+    if cache is not None and base_key is not None:
+        hit = cache.get(base_key + (-3,))
+        if hit is not None:
+            return _positions_slice(hit[0], hit[1], tfs, sel)
+        if sel.size * _POSS_CACHE_MIN_FRACTION >= df:
+            pos, starts = decode_positions(poss_raw, tfs)
+            cache.put(base_key + (-3,), (pos, starts))
+            return _positions_slice(pos, starts, tfs, sel)
+    return decode_positions_select(poss_raw, tfs, sel)
+
+
 def _phrase_keep(cand_size: int, p_of: dict, qoff: dict,
                  anchor_t: str) -> np.ndarray:
     """Vectorized phrase verification ACROSS candidates (the same
@@ -634,6 +678,7 @@ def _phrase_keep(cand_size: int, p_of: dict, qoff: dict,
 
 def _make_phrase_scorer(
     idf: dict[str, float], k1, b, avgdl, k, qoffsets: dict,
+    epoch: tuple | None = None,
 ):
     """Positional phrase scorer (requires an index built with
     ``BuildConfig(positions=True)``; no reference analog — the reference
@@ -660,15 +705,32 @@ def _make_phrase_scorer(
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if len(pdf) == 0 or pdf["term"].nunique() < n_required:
             return empty
+        # module-resolved at call time (see _make_exhaustive_scorer): a
+        # closure ref would ship the driver's cache snapshot by value
+        cache = None
+        if epoch is not None:
+            from indexer_spark.query import _DECODED_CACHE as cache
         pdf = pdf.sort_values("term", kind="stable")
+        has_shard = "shard" in pdf.columns
         terms = []
         for row in pdf.itertuples():
-            docs, tfs, dls = decode_postings(
-                row.docs, row.tfs, row.dls, int(row.df)
+            shard_id = int(row.shard) if has_shard else -1
+            base_key = (
+                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                if cache is not None else None
             )
+            cached = cache.get(base_key + (-1,)) if base_key else None
+            if cached is None:
+                cached = decode_postings(
+                    row.docs, row.tfs, row.dls, int(row.df)
+                )
+                if base_key is not None:
+                    cache.put(base_key + (-1,), cached)
+            docs, tfs, dls = cached
             terms.append({
                 "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
                 "poss_raw": row.poss,  # decoded lazily below
+                "key": base_key,
                 "w": idf[row.term],
                 "qoffs": qoffsets[row.term],
             })
@@ -685,10 +747,13 @@ def _make_phrase_scorer(
         # hot term the conjunction is typically orders of magnitude
         # smaller than its df. Selected arrays are in cand order, so
         # candidate ci's slice is pstarts[ci]:pstarts[ci+1] directly.
+        # Wide candidate sets go through the decoded-positions LRU
+        # (_positions_for): repeats then skip the varint work entirely.
         for t in terms:
             sel = np.searchsorted(t["docs"], cand)
-            t["pos"], t["pstarts"] = decode_positions_select(
-                t["poss_raw"], t["tfs"], sel
+            t["pos"], t["pstarts"] = _positions_for(
+                t["poss_raw"], t["tfs"], sel, t["key"], cache,
+                t["docs"].size,
             )
 
         # vectorized positional verification; anchor = fewest postings
@@ -717,6 +782,7 @@ def _make_phrase_scorer(
 
 def _make_near_scorer(
     idf: dict[str, float], k1, b, avgdl, k, window: int,
+    epoch: tuple | None = None,
 ):
     """Positional proximity (NEAR) scorer: docs where ALL distinct query
     terms co-occur within a ``window``-token span of the raw post-lex
@@ -739,15 +805,30 @@ def _make_near_scorer(
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if len(pdf) == 0 or pdf["term"].nunique() < n_required:
             return empty
+        cache = None
+        if epoch is not None:
+            from indexer_spark.query import _DECODED_CACHE as cache
         pdf = pdf.sort_values("term", kind="stable")
+        has_shard = "shard" in pdf.columns
         terms = []
         for row in pdf.itertuples():
-            docs, tfs, dls = decode_postings(
-                row.docs, row.tfs, row.dls, int(row.df)
+            shard_id = int(row.shard) if has_shard else -1
+            base_key = (
+                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                if cache is not None else None
             )
+            cached = cache.get(base_key + (-1,)) if base_key else None
+            if cached is None:
+                cached = decode_postings(
+                    row.docs, row.tfs, row.dls, int(row.df)
+                )
+                if base_key is not None:
+                    cache.put(base_key + (-1,), cached)
+            docs, tfs, dls = cached
             terms.append({
                 "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
                 "poss_raw": row.poss,  # decoded lazily below
+                "key": base_key,
                 "w": idf[row.term],
             })
         by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
@@ -775,8 +856,9 @@ def _make_near_scorer(
             max_pos = 0
             for t in terms:
                 sel = np.searchsorted(t["docs"], cand)
-                t["cpos"], pst = decode_positions_select(
-                    t["poss_raw"], t["tfs"], sel
+                t["cpos"], pst = _positions_for(
+                    t["poss_raw"], t["tfs"], sel, t["key"], cache,
+                    t["docs"].size,
                 )
                 t["clbl"] = np.repeat(lbl_of, np.diff(pst))
                 if t["cpos"].size:
@@ -812,6 +894,7 @@ def _make_near_scorer(
 
 def _make_bool_scorer(
     pq, idf: dict[str, float], k1, b, avgdl, k, positional: bool,
+    epoch: tuple | None = None,
 ):
     """Boolean-query scorer (see boolquery.py for the language): shard-
     local set algebra over decoded doc arrays — intersect AND groups
@@ -829,15 +912,30 @@ def _make_bool_scorer(
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if len(pdf) == 0:
             return empty
+        cache = None
+        if epoch is not None:
+            from indexer_spark.query import _DECODED_CACHE as cache
+        has_shard = "shard" in pdf.columns
         data: dict[str, dict] = {}
         for row in pdf.itertuples():
-            docs, tfs, dls = decode_postings(
-                row.docs, row.tfs, row.dls, int(row.df)
+            shard_id = int(row.shard) if has_shard else -1
+            base_key = (
+                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                if cache is not None else None
             )
+            cached = cache.get(base_key + (-1,)) if base_key else None
+            if cached is None:
+                cached = decode_postings(
+                    row.docs, row.tfs, row.dls, int(row.df)
+                )
+                if base_key is not None:
+                    cache.put(base_key + (-1,), cached)
+            docs, tfs, dls = cached
             data[row.term] = {
                 "docs": docs, "tfs": tfs, "dls": dls,
                 "poss_raw": getattr(row, "poss", None) if positional
                 else None,
+                "key": base_key,
             }
         term_docs = {t: e["docs"] for t, e in data.items()}
         no_docs = np.empty(0, dtype=np.int64)
@@ -862,8 +960,9 @@ def _make_bool_scorer(
             for t in ph.terms:
                 e = data[t]
                 sel = np.searchsorted(e["docs"], cand)
-                p_of[t] = decode_positions_select(
-                    e["poss_raw"], e["tfs"], sel
+                p_of[t] = _positions_for(
+                    e["poss_raw"], e["tfs"], sel, e["key"], cache,
+                    e["docs"].size,
                 )
             qoff: dict[str, list[int]] = {}
             for t, o in ph.qoffsets:
@@ -1089,8 +1188,10 @@ class IndexReader:
         self.last_path: str | None = None  # "fast" | "distributed"
         self._df_cache: dict[str, int] = {}
         self._nbytes_cache: dict[str, int] = {}
+        self._poss_nbytes_cache: dict[str, int] = {}
         self._prefix_cache: dict[tuple[str, int], list[str]] = {}
         self._has_nbytes: bool | None = None
+        self._has_poss_nbytes: bool | None = None
         # decoded-postings cache namespace: (index identity, epoch). The
         # epoch (bumped on every stats commit) invalidates entries across
         # mutations of ONE index; the dir identity separates different
@@ -1228,9 +1329,11 @@ class IndexReader:
             self._pinned_keys -= stale
         self._df_cache.clear()
         self._nbytes_cache.clear()
+        self._poss_nbytes_cache.clear()
         self._prefix_cache.clear()
         self._cached_terms.clear()
         self._has_nbytes = None  # re-probe the refreshed schema lazily
+        self._has_poss_nbytes = None
         # re-derive the whole-file-task pin: the mutation may have grown
         # max_postings_file_bytes past the pin taken at init
         self._pin_split_size()
@@ -1309,6 +1412,7 @@ class IndexReader:
                     self._df_cache[t] = 0
                 return {t: self._df_cache[t] for t in terms}
             self._has_nbytes = "nbytes" in ds.schema.names
+            self._has_poss_nbytes = "poss_nbytes" in ds.schema.names
             tbl = self._ts_table(filter=pads.field("term").isin(missing))
             tlist = tbl.column("term").to_pylist()
             found = dict(
@@ -1322,6 +1426,13 @@ class IndexReader:
                 )
                 for t in missing:
                     self._nbytes_cache[t] = nb.get(t, 0)
+            if self._has_poss_nbytes:
+                pnb = dict(zip(tlist, (
+                    int(x or 0)
+                    for x in tbl.column("poss_nbytes").to_pylist()
+                )))
+                for t in missing:
+                    self._poss_nbytes_cache[t] = pnb.get(t, 0)
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
@@ -1354,6 +1465,7 @@ class IndexReader:
             self._prefix_cache[key] = []
             return []
         self._has_nbytes = "nbytes" in ds.schema.names
+        self._has_poss_nbytes = "poss_nbytes" in ds.schema.names
         tbl = self._ts_table(
             filter=(pads.field("term") >= prefix)
             & (pads.field("term") < prefix + "\U0010ffff")
@@ -1364,14 +1476,20 @@ class IndexReader:
             [int(x or 0) for x in tbl.column("nbytes").to_pylist()]
             if self._has_nbytes else [0] * len(terms)
         )
+        pnbs = (
+            [int(x or 0) for x in tbl.column("poss_nbytes").to_pylist()]
+            if self._has_poss_nbytes else [0] * len(terms)
+        )
         pairs = []
-        for t, d, nb in zip(terms, dfs, nbs):
+        for t, d, nb, pnb in zip(terms, dfs, nbs, pnbs):
             if not t.startswith(prefix):
                 continue
             pairs.append((t, d))
             self._df_cache[t] = d
             if self._has_nbytes:
                 self._nbytes_cache[t] = nb
+            if self._has_poss_nbytes:
+                self._poss_nbytes_cache[t] = pnb
         out = cap_expansions(pairs, cap)
         self._prefix_cache[key] = out
         return out
@@ -1858,17 +1976,34 @@ class IndexReader:
                      label: str = "fast_phrase",
                      cols: list[str] | None = None) -> list | None:
         """Driver fast path for the shard-grouped scorer modes (phrase /
-        near / bool): same per-term nbytes budget gate as _fast_scored
-        (nbytes excludes the positions payload — measured ~1.6x at 2M
-        turns — so the gate errs permissive by that factor; the ceiling
-        still bounds the read), pyarrow point-read of ``cols`` (default
-        includes the poss column), then the SAME per-shard scorer a
-        distributed task would run, grouped by shard driver-side, with
-        the standard (score desc, doc_id asc) top-k merge.
+        near / bool): per-term byte budget gate like _fast_scored, but
+        counting the positions payload too when the read includes it
+        (poss_nbytes from term_stats; indexes built before that column
+        existed fall back to estimating poss at 1x the postings payload
+        — the measured whole-index ratio at 2M turns was poss ~0.6x, so
+        the estimate errs toward the distributed plan, never toward an
+        unbounded driver read). Then a pyarrow point-read of ``cols``
+        (default includes the poss column) and the SAME per-shard scorer
+        a distributed task would run — shards scored CONCURRENTLY on the
+        _score_threads() pool (shard outputs are independent: doc-range
+        sharding means no doc appears in two shards, so the merge is
+        order-insensitive and results stay bit-identical to the serial
+        loop) — with the standard (score desc, doc_id asc) top-k merge.
         Result-identical to the distributed plan."""
         if self.fast_path_bytes <= 0 or not self._has_nbytes:
             return None
+        cols = cols or ["shard", "term", "df", "docs", "tfs", "dls",
+                        "poss"]
         total = sum(self._nbytes_cache.get(t, 0) for t in present)
+        if "poss" in cols:
+            if self._has_poss_nbytes:
+                total += sum(
+                    self._poss_nbytes_cache.get(t, 0) for t in present
+                )
+            else:
+                total += sum(
+                    self._nbytes_cache.get(t, 0) for t in present
+                )
         if total > self.fast_path_bytes:
             return None
         import pyarrow.dataset as pads
@@ -1879,12 +2014,18 @@ class IndexReader:
                 partitioning="hive",
             )
         tbl = self._post_table(
-            columns=cols or ["shard", "term", "df", "docs", "tfs", "dls",
-                             "poss"],
+            columns=cols,
             filter=pads.field("term").isin(present),
         )
         pdf = tbl.to_pandas()
-        outs = [scorer(g) for _, g in pdf.groupby("shard", sort=False)]
+        groups = [g for _, g in pdf.groupby("shard", sort=False)]
+        if len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(_score_threads()) as ex:
+                outs = list(ex.map(scorer, groups))
+        else:
+            outs = [scorer(g) for g in groups]
         outs = [o for o in outs if len(o)]
         if not outs:
             self.last_path = label
@@ -1953,6 +2094,7 @@ class IndexReader:
         }
         scorer = _make_bool_scorer(
             pq, idf, st["k1"], st["b"], st["avgdl"], k, pq.has_phrase,
+            epoch=self._epoch,
         )
         cols = ["shard", "term", "df", "docs", "tfs", "dls"]
         if pq.has_phrase:
@@ -2385,10 +2527,12 @@ class IndexReader:
                 }
                 scorer = _make_phrase_scorer(
                     idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
+                    epoch=self._epoch,
                 )
             else:
                 scorer = _make_near_scorer(
                     idf, st["k1"], st["b"], st["avgdl"], k, window,
+                    epoch=self._epoch,
                 )
             hit = self._fast_phrase(terms, scorer, k, label=f"fast_{mode}")
             if hit is not None:
@@ -2483,10 +2627,12 @@ class IndexReader:
                 }
                 scorer = _make_phrase_scorer(
                     idf, st["k1"], st["b"], st["avgdl"], k, qoffsets,
+                    epoch=self._epoch,
                 )
             else:
                 scorer = _make_near_scorer(
                     idf, st["k1"], st["b"], st["avgdl"], k, window,
+                    epoch=self._epoch,
                 )
             cols = ["shard", "term", "df", "docs", "tfs", "dls", "poss"]
         elif mode == "and":

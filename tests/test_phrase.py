@@ -327,3 +327,68 @@ def test_phrase_survives_streaming(spark, tmp_path):
         assert hits == {0, 1}  # seed doc + streamed doc
     finally:
         r.close()
+
+
+def test_positions_slice_matches_select():
+    """_positions_for's full-decode+gather path must produce exactly what
+    the candidate-driven varint decode produces, for random payloads and
+    selections (the decoded-positions LRU serves the gather path)."""
+    from indexer_spark.compress import decode_positions_select
+    from indexer_spark.query import _positions_slice
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        n_docs = int(rng.integers(1, 50))
+        blobs, tfs = [], []
+        for _d in range(n_docs):
+            n = int(rng.integers(1, 12))
+            p = np.sort(
+                rng.choice(5_000, size=n, replace=False)
+            ).astype(np.int64)
+            blobs.append(encode_positions(p))
+            tfs.append(n)
+        blob, tfs = b"".join(blobs), np.array(tfs, dtype=np.int64)
+        sel = np.sort(rng.choice(
+            n_docs, size=int(rng.integers(0, n_docs + 1)), replace=False
+        ))
+        want = decode_positions_select(blob, tfs, sel)
+        pos_full, starts_full = decode_positions(blob, tfs)
+        got = _positions_slice(pos_full, starts_full, tfs, sel)
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+
+def test_fast_phrase_gate_counts_positions_payload(spark, pos_index):
+    """The fast-path admission gate must count poss_nbytes: a budget
+    sized between the postings payload alone and postings+positions
+    admits the driver path WITHOUT the positions column counted, but
+    must route to the distributed plan once it is (results identical
+    either way — only last_path flips)."""
+    index_dir, _ = pos_index
+    reader = IndexReader(spark, index_dir)
+    try:
+        # pick a phrase of two present terms from term_stats
+        import pyarrow.dataset as pads
+
+        ts = pads.dataset(index_dir + "/term_stats").to_table()
+        assert "poss_nbytes" in ts.schema.names  # new builds record it
+        # hottest term by payload: guaranteed present
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(ts, sort_keys=[("nbytes", "descending")])
+        t0 = ts.column("term").to_pylist()[idx[0].as_py()]
+        nb = reader.global_dfs([t0]) and reader._nbytes_cache[t0]
+        pnb = reader._poss_nbytes_cache[t0]
+        assert pnb > 0
+        q = t0  # single-term phrase exercises the same gate
+        # budget between nbytes and nbytes+poss_nbytes -> must go
+        # distributed now that poss is counted
+        reader.fast_path_bytes = nb + pnb // 2
+        hits_dist = reader.search(q, 10, mode="phrase")
+        assert reader.last_path == "distributed"
+        # budget above nbytes+poss_nbytes -> driver fast path
+        reader.fast_path_bytes = nb + pnb + 1024
+        hits_fast = reader.search(q, 10, mode="phrase")
+        assert reader.last_path == "fast_phrase"
+        assert hits_fast == hits_dist
+    finally:
+        reader.close()
