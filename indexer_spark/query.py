@@ -2191,6 +2191,72 @@ class IndexReader:
 
     FACET_DRIVER_MAX_DOCS = 100_000
 
+    #: matched-set docs at or under this bound MAY broadcast to the
+    #: docstore side of the facet/export/filtered-search joins instead
+    #: of shuffle-joining it: the corpus-sized tok projection then never
+    #: moves (the 20M-row docstore exchange was the facet wall at sf1),
+    #: while the broadcast stays <= ~2M rows x 16 B well inside executor
+    #: memory. The bound is decided BEFORE running anything, from
+    #: term_stats df (OR: sum of dfs; AND/phrase/near: min df; bool: sum
+    #: over positive atoms) — an upper bound on matches, so the gate can
+    #: only err toward the always-safe shuffle join.
+    FACET_BROADCAST_MAX_DOCS = 2_000_000
+
+    #: ...and only when the match bound is at most 1/this of the corpus:
+    #: a broadcast costs ~bound (collect + hash build + per-task probe
+    #: setup) while the shuffle costs ~n_docs; a match set comparable to
+    #: the corpus gains nothing from broadcasting (measured at 2M turns:
+    #: a 1.9M-row broadcast LOST to the 2M-row shuffle, 2.0 s vs 1.3 s
+    #: warm, while an 8x-smaller one wins).
+    FACET_BROADCAST_MIN_RATIO = 8
+
+    def _match_upper_bound(self, query: str, mode: str) -> int | None:
+        """Upper bound on the number of matching docs, from term_stats
+        dfs alone (no postings read). None when no bound is derivable."""
+        try:
+            if mode == "bool":
+                from .boolquery import from_root, parse, rewrite_prefixes
+
+                pq = parse(query)
+                if pq.root is None:
+                    return 0
+                if pq.has_prefix:
+                    root = rewrite_prefixes(pq.root, self.expand_prefix)
+                    pq = from_root(root)
+                    if pq.root is None:
+                        return 0
+                terms = sorted(set(pq.pos_terms))
+                if not terms:
+                    return 0
+                dfs = self.global_dfs(terms)
+                return int(sum(dfs[t] for t in terms))
+            terms = sorted(set(tokenize(query)))
+            if not terms:
+                return 0
+            dfs = self.global_dfs(terms)
+            vals = [dfs[t] for t in terms]
+            if mode in ("and", "phrase", "near"):
+                return int(min(vals))
+            return int(sum(vals))
+        except ValueError:
+            return None
+
+    def _join_docstore(self, scored, cols: list[str], bound: int | None):
+        """Join the scored set to the docstore projection, broadcasting
+        the scored side when the df-derived match bound allows — the
+        corpus-sized tok scan then never shuffles (one broadcast + the
+        consumer's tiny aggregate instead of a full-table exchange).
+        Row-identical to the shuffle join either way."""
+        docs = self._docstore_docids(cols)
+        if (
+            bound is not None
+            and bound <= self.FACET_BROADCAST_MAX_DOCS
+            and bound * self.FACET_BROADCAST_MIN_RATIO
+            <= int(self.stats["n_docs"])
+        ):
+            return docs.join(F.broadcast(scored), "doc_id")
+        return scored.join(docs, "doc_id")
+
     def facet_counts(
         self, query: str, by: str = "role", k: int = 20,
         mode: str = "pruned", window: int = 8,
@@ -2252,10 +2318,11 @@ class IndexReader:
         )
         if scored is None:
             return []
-        docs = self._docstore_docids([by])
         rows = (
-            scored.select("doc_id")
-            .join(docs, "doc_id")
+            self._join_docstore(
+                scored.select("doc_id"), [by],
+                self._match_upper_bound(query, mode),
+            )
             .groupBy(by)
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc(by))
@@ -2291,11 +2358,13 @@ class IndexReader:
             empty = self.spark.createDataFrame([], schema)
             empty.write.mode("overwrite").parquet(out_path)
             return 0
-        docs = self._docstore_docids(["conv_id", "turn_idx"])
         cols = ["conv_id", "turn_idx", "doc_id"] + (
             ["score"] if with_scores else []
         )
-        out = scored.join(docs, "doc_id").select(*cols)
+        out = self._join_docstore(
+            scored, ["conv_id", "turn_idx"],
+            self._match_upper_bound(query, mode),
+        ).select(*cols)
         out.write.mode("overwrite").parquet(out_path)
         return self.spark.read.parquet(out_path).count()
 
@@ -2370,13 +2439,14 @@ class IndexReader:
         )
         if scored is None:
             return []
-        docs = self._docstore_docids(cols)
         cond = None
         for c in cols:
             clause = F.col(c).isin([v for v in allow[c]])
             cond = clause if cond is None else (cond & clause)
         rows = (
-            scored.join(docs, "doc_id")
+            self._join_docstore(
+                scored, cols, self._match_upper_bound(query, mode),
+            )
             .filter(cond)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
