@@ -619,18 +619,41 @@ def _positions_slice(pos: np.ndarray, starts: np.ndarray,
 _POSS_CACHE_MIN_FRACTION = 4
 
 
+class _FastCacheMiss(Exception):
+    """A cache-fed scorer pass hit a row whose payload was LRU-evicted;
+    the caller falls back to the (always-correct) reading path."""
+
+
 def _positions_for(poss_raw, tfs, sel, base_key, cache, df: int):
     """(positions, starts) for the ``sel``-indexed docs of one
     (shard, term) payload, through the decoded-positions LRU slot (-3)
-    when present or worth creating (see _POSS_CACHE_MIN_FRACTION)."""
+    when present or worth creating (see _POSS_CACHE_MIN_FRACTION).
+    ``poss_raw=None`` means a cache-fed pass (no payload read): the raw
+    blob is recovered from slot (-4) — stored on every reading pass — or
+    _FastCacheMiss sends the caller back to the reading path."""
     if cache is not None and base_key is not None:
         hit = cache.get(base_key + (-3,))
         if hit is not None:
             return _positions_slice(hit[0], hit[1], tfs, sel)
+        if poss_raw is None:
+            raw = cache.get(base_key + (-4,))
+            if raw is None:
+                raise _FastCacheMiss()
+            poss_raw = raw[0]
+        elif cache.get(base_key + (-4,)) is None:
+            # raw compressed blob: lets repeat queries skip the parquet
+            # read even when candidates stay too selective for the
+            # decoded (-3) slot (np.frombuffer wraps, no copy)
+            cache.put(
+                base_key + (-4,),
+                (np.frombuffer(poss_raw, dtype=np.uint8),),
+            )
         if sel.size * _POSS_CACHE_MIN_FRACTION >= df:
             pos, starts = decode_positions(poss_raw, tfs)
             cache.put(base_key + (-3,), (pos, starts))
             return _positions_slice(pos, starts, tfs, sel)
+    if poss_raw is None:
+        raise _FastCacheMiss()
     return decode_positions_select(poss_raw, tfs, sel)
 
 
@@ -715,12 +738,17 @@ def _make_phrase_scorer(
         terms = []
         for row in pdf.itertuples():
             shard_id = int(row.shard) if has_shard else -1
+            plen = (
+                len(row.docs) if row.docs is not None else int(row.plen)
+            )
             base_key = (
-                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                (epoch, shard_id, row.term, int(row.df), plen)
                 if cache is not None else None
             )
             cached = cache.get(base_key + (-1,)) if base_key else None
             if cached is None:
+                if row.docs is None:  # cache-fed pass, entry evicted
+                    raise _FastCacheMiss()
                 cached = decode_postings(
                     row.docs, row.tfs, row.dls, int(row.df)
                 )
@@ -813,12 +841,17 @@ def _make_near_scorer(
         terms = []
         for row in pdf.itertuples():
             shard_id = int(row.shard) if has_shard else -1
+            plen = (
+                len(row.docs) if row.docs is not None else int(row.plen)
+            )
             base_key = (
-                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                (epoch, shard_id, row.term, int(row.df), plen)
                 if cache is not None else None
             )
             cached = cache.get(base_key + (-1,)) if base_key else None
             if cached is None:
+                if row.docs is None:  # cache-fed pass, entry evicted
+                    raise _FastCacheMiss()
                 cached = decode_postings(
                     row.docs, row.tfs, row.dls, int(row.df)
                 )
@@ -919,12 +952,17 @@ def _make_bool_scorer(
         data: dict[str, dict] = {}
         for row in pdf.itertuples():
             shard_id = int(row.shard) if has_shard else -1
+            plen = (
+                len(row.docs) if row.docs is not None else int(row.plen)
+            )
             base_key = (
-                (epoch, shard_id, row.term, int(row.df), len(row.docs))
+                (epoch, shard_id, row.term, int(row.df), plen)
                 if cache is not None else None
             )
             cached = cache.get(base_key + (-1,)) if base_key else None
             if cached is None:
+                if row.docs is None:  # cache-fed pass, entry evicted
+                    raise _FastCacheMiss()
                 cached = decode_postings(
                     row.docs, row.tfs, row.dls, int(row.df)
                 )
@@ -1985,11 +2023,22 @@ class IndexReader:
         unbounded driver read). Then a pyarrow point-read of ``cols``
         (default includes the poss column) and the SAME per-shard scorer
         a distributed task would run — shards scored CONCURRENTLY on the
-        _score_threads() pool (shard outputs are independent: doc-range
-        sharding means no doc appears in two shards, so the merge is
-        order-insensitive and results stay bit-identical to the serial
-        loop) — with the standard (score desc, doc_id asc) top-k merge.
-        Result-identical to the distributed plan."""
+        _score_threads() pool when groups are few and heavy (shard
+        outputs are independent: doc-range sharding means no doc appears
+        in two shards, so the merge is order-insensitive and results
+        stay bit-identical to the serial loop; at many tiny groups the
+        GIL makes threads a net LOSS — measured 0.47 s serial vs 1.2 s
+        on 4 threads over 306 groups at 20M turns — so the pool only
+        engages up to FAST_PHRASE_THREAD_MAX_GROUPS) — with the
+        standard (score desc, doc_id asc) top-k merge.
+
+        Repeats skip the parquet read entirely: every reading pass
+        records its rows in the _cached_terms bookkeeping, and a later
+        call whose terms are all recorded replays the scorer over
+        synthetic payload-less rows served from the decoded LRU
+        (slots -1 postings, -3/-4 positions); any evicted entry raises
+        _FastCacheMiss and the call falls back to the reading path.
+        Result-identical to the distributed plan on every path."""
         if self.fast_path_bytes <= 0 or not self._has_nbytes:
             return None
         cols = cols or ["shard", "term", "df", "docs", "tfs", "dls",
@@ -2006,6 +2055,23 @@ class IndexReader:
                 )
         if total > self.fast_path_bytes:
             return None
+        # cache-fed replay: all terms' rows known from a previous read
+        if all(t in self._cached_terms for t in present):
+            rows = []
+            for t in present:
+                for sh, df_r, plen in sorted(self._cached_terms[t]):
+                    rows.append((sh, t, df_r, plen))
+            spdf = pd.DataFrame(
+                rows, columns=["shard", "term", "df", "plen"]
+            )
+            for c in ("docs", "tfs", "dls"):
+                spdf[c] = None
+            if "poss" in cols:
+                spdf["poss"] = None
+            try:
+                return self._run_shard_groups(spdf, scorer, k, label)
+            except _FastCacheMiss:
+                pass  # evicted somewhere: take the reading path
         import pyarrow.dataset as pads
 
         if self._post_ds is None:
@@ -2018,8 +2084,24 @@ class IndexReader:
             filter=pads.field("term").isin(present),
         )
         pdf = tbl.to_pandas()
+        # record rows so repeats can replay from the cache (same
+        # bookkeeping _fast_scored uses; unconditional for the same
+        # partial-entry reason)
+        for row in pdf.itertuples():
+            self._record_cached(
+                row.term, (int(row.shard), int(row.df), len(row.docs))
+            )
+        return self._run_shard_groups(pdf, scorer, k, label)
+
+    #: thread the per-shard fast-path scorer only up to this many shard
+    #: groups: at the default 32 MB admission budget, more groups than
+    #: this means < ~0.5 MB of payload per group, where per-group GIL
+    #: time dominates and the pool measurably loses to the serial loop
+    FAST_PHRASE_THREAD_MAX_GROUPS = 64
+
+    def _run_shard_groups(self, pdf, scorer, k: int, label: str) -> list:
         groups = [g for _, g in pdf.groupby("shard", sort=False)]
-        if len(groups) > 1:
+        if 1 < len(groups) <= self.FAST_PHRASE_THREAD_MAX_GROUPS:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(_score_threads()) as ex:
@@ -2486,8 +2568,22 @@ class IndexReader:
             return []
         if self.fast_path_bytes <= 0 or not self._has_nbytes:
             return None
-        if sum(self._nbytes_cache.get(t, 0) for t in present) \
-                > self.fast_path_bytes:
+        total = sum(self._nbytes_cache.get(t, 0) for t in present)
+        if mode in ("phrase", "near"):
+            # the SAME poss-aware accounting _fast_phrase applies: a
+            # mismatch here would pass this gate, then have search()'s
+            # stricter gate refuse and collect the full match set off
+            # the distributed plan instead of the driver path this
+            # function promises
+            if self._has_poss_nbytes:
+                total += sum(
+                    self._poss_nbytes_cache.get(t, 0) for t in present
+                )
+            else:
+                total += sum(
+                    self._nbytes_cache.get(t, 0) for t in present
+                )
+        if total > self.fast_path_bytes:
             return None
         # gate passed: search() is guaranteed to stay on a driver path
         return self.search(query, k=1 << 30, mode=mode, window=window)

@@ -6,10 +6,10 @@ order of magnitude above their 2M benches.
 
 Guards at full result size: positional containment (phrase ⊆ near(2) ⊆
 near(8) ⊆ and), NOT disjointness, facet totals == match count. Writes
-one JSON line to stdout and BENCH/raw/sf1_posmodes_r05.json.
+one JSON line to stdout and BENCH/raw/sf1_posmodes_r06.json.
 
 Env: SPARK_GRAFT_CPUS (32), SPARK_GRAFT_TURNS (20M),
-SPARK_GRAFT_SF1POS_INDEX (default /tmp/sf1_pos_index_r05; reused if
+SPARK_GRAFT_SF1POS_INDEX (default /tmp/sf1_pos_index_r06; reused if
 present, SPARK_GRAFT_SF1_FRESH=1 rebuilds).
 """
 
@@ -47,7 +47,7 @@ def main():
                       driver_memory="48g",
                       app_name="indexer_spark_sf1pos")
     index_dir = os.environ.get("SPARK_GRAFT_SF1POS_INDEX",
-                               "/tmp/sf1_pos_index_r05")
+                               "/tmp/sf1_pos_index_r06")
     if os.environ.get("SPARK_GRAFT_SF1_FRESH") == "1":
         shutil.rmtree(index_dir, ignore_errors=True)
     corpus = tempfile.mkdtemp(prefix="sf1pos_corpus_")
@@ -165,7 +165,7 @@ def main():
 
         print(json.dumps(out))
         with open(os.path.join(_TOOLS, "..", "BENCH", "raw",
-                               "sf1_posmodes_r05.json"), "w") as f:
+                               "sf1_posmodes_r06.json"), "w") as f:
             f.write(json.dumps(out) + "\n")
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
