@@ -119,16 +119,37 @@ def lsh_candidate_pairs(
     )
 
 
+#: broadcast the candidate-id set into the token scan when there are at
+#: most this many candidate docs (2x the pair count): the collect_set
+#: aggregation then runs over candidates only instead of the whole
+#: corpus (measured 20.2 s of the 45.1 s MinHash end-to-end at 2M docs
+#: was this verify step, with candidates ~10% of docs). Above the cap,
+#: the corpus-wide aggregation path stays (always safe).
+VERIFY_BROADCAST_MAX_IDS = 5_000_000
+
+
 def verify_jaccard(
     df: DataFrame, pairs: DataFrame, text_col="text", id_col="doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs only (two broadcast-or-
     shuffle hash joins against the per-doc token sets, then JVM array
-    intersection — no UDF)."""
+    intersection — no UDF). Token sets are aggregated for CANDIDATE docs
+    only when the candidate-id set is broadcastable (semi-join pushed
+    below the aggregation — only rows that would survive the pair joins
+    are ever aggregated, so results are unchanged)."""
+    pairs = _persist_slot("verify_pairs", pairs)
+    n_pairs = pairs.count()  # materializes the persisted candidates once
+    tok = _tokens(df, text_col, id_col)
+    if 2 * n_pairs <= VERIFY_BROADCAST_MAX_IDS:
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        tok = tok.join(F.broadcast(cand_ids), id_col, "left_semi")
     sets = (
-        _tokens(df, text_col, id_col)
-        .groupBy(id_col)
+        tok.groupBy(id_col)
         .agg(F.collect_set("term").alias("terms"))
     )
     j = (
