@@ -624,6 +624,105 @@ class _FastCacheMiss(Exception):
     the caller falls back to the (always-correct) reading path."""
 
 
+def _decode_merged_terms(pdf: pd.DataFrame, epoch, positional: bool):
+    """Decode every postings row of ``pdf`` (cache-aware, slot -1) and
+    MERGE same-term rows across shards into one entry per term with
+    globally sorted doc arrays — valid because shards partition the
+    doc-id space in shard order (offset[s+1] = offset[s] + count[s]), so
+    concatenating a term's per-shard lists in numeric shard order yields
+    one sorted unique doc array (guarded: a non-monotonic merge fails
+    loudly). This is what lets the driver fast path evaluate a
+    many-shard index in ONE pass instead of per-shard (at 306 shards the
+    per-group fixed cost dominated the whole query); the distributed
+    per-shard tasks hit the same code as the degenerate one-row case.
+
+    Returns (cache, entries): entries is term -> dict(docs/tfs/dls
+    merged, rows=[(poss_raw, tfs, key, n_docs)] for lazy positions,
+    bounds=doc-count prefix per row) in ascending-term order."""
+    cache = None
+    if epoch is not None:
+        from indexer_spark.query import _DECODED_CACHE as cache
+    has_shard = "shard" in pdf.columns
+    pdf = pdf.sort_values(
+        ["term", "shard"] if has_shard else ["term"], kind="stable"
+    )
+    per_term: dict[str, list] = {}
+    for row in pdf.itertuples():
+        shard_id = int(row.shard) if has_shard else -1
+        plen = len(row.docs) if row.docs is not None else int(row.plen)
+        base_key = (
+            (epoch, shard_id, row.term, int(row.df), plen)
+            if cache is not None else None
+        )
+        cached = cache.get(base_key + (-1,)) if base_key else None
+        if cached is None:
+            if row.docs is None:  # cache-fed pass, entry evicted
+                raise _FastCacheMiss()
+            cached = decode_postings(
+                row.docs, row.tfs, row.dls, int(row.df)
+            )
+            if base_key is not None:
+                cache.put(base_key + (-1,), cached)
+        docs, tfs, dls = cached
+        poss_raw = getattr(row, "poss", None) if positional else None
+        per_term.setdefault(row.term, []).append(
+            (docs, tfs, dls, poss_raw, base_key)
+        )
+    entries: dict[str, dict] = {}
+    for t, rows in per_term.items():  # dict order == ascending term
+        if len(rows) == 1:
+            d, tf, dl, praw, key = rows[0]
+            entries[t] = {
+                "docs": d, "tfs": tf, "dls": dl,
+                "rows": [(praw, tf, key, d.size)], "bounds": None,
+            }
+        else:
+            d = np.concatenate([r[0] for r in rows])
+            if d.size > 1 and (np.diff(d) <= 0).any():
+                raise RuntimeError(
+                    "per-shard doc ranges overlap or are out of order; "
+                    "cannot merge postings across shards"
+                )
+            entries[t] = {
+                "docs": d,
+                "tfs": np.concatenate([r[1] for r in rows]),
+                "dls": np.concatenate([r[2] for r in rows]),
+                "rows": [(r[3], r[1], r[4], r[0].size) for r in rows],
+                "bounds": np.concatenate(
+                    ([0], np.cumsum([r[0].size for r in rows]))
+                ).astype(np.int64),
+            }
+    return cache, entries
+
+
+def _entry_positions(entry: dict, sel: np.ndarray, cache):
+    """(positions, starts) for the ``sel``-indexed docs of a (possibly
+    merged) term entry: each selected doc's list decodes from its own
+    shard row via _positions_for, and ascending ``sel`` keeps the
+    concatenation in candidate order — value-identical to a single-row
+    decode_positions_select."""
+    rows = entry["rows"]
+    if len(rows) == 1:
+        praw, tfs, key, n = rows[0]
+        return _positions_for(praw, tfs, sel, key, cache, n)
+    bounds = entry["bounds"]
+    row_of = np.searchsorted(bounds, sel, side="right") - 1
+    pos_parts = []
+    for i, (praw, tfs, key, n) in enumerate(rows):
+        lsel = sel[row_of == i] - bounds[i]
+        p, _st = _positions_for(praw, tfs, lsel, key, cache, n)
+        pos_parts.append(p)
+    pos = (
+        np.concatenate(pos_parts) if pos_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    out_tfs = (
+        entry["tfs"][sel] if sel.size else np.zeros(0, dtype=np.int64)
+    )
+    starts = np.concatenate(([0], np.cumsum(out_tfs))).astype(np.int64)
+    return pos, starts
+
+
 def _positions_for(poss_raw, tfs, sel, base_key, cache, df: int):
     """(positions, starts) for the ``sel``-indexed docs of one
     (shard, term) payload, through the decoded-positions LRU slot (-3)
@@ -728,40 +827,14 @@ def _make_phrase_scorer(
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if len(pdf) == 0 or pdf["term"].nunique() < n_required:
             return empty
-        # module-resolved at call time (see _make_exhaustive_scorer): a
-        # closure ref would ship the driver's cache snapshot by value
-        cache = None
-        if epoch is not None:
-            from indexer_spark.query import _DECODED_CACHE as cache
-        pdf = pdf.sort_values("term", kind="stable")
-        has_shard = "shard" in pdf.columns
-        terms = []
-        for row in pdf.itertuples():
-            shard_id = int(row.shard) if has_shard else -1
-            plen = (
-                len(row.docs) if row.docs is not None else int(row.plen)
-            )
-            base_key = (
-                (epoch, shard_id, row.term, int(row.df), plen)
-                if cache is not None else None
-            )
-            cached = cache.get(base_key + (-1,)) if base_key else None
-            if cached is None:
-                if row.docs is None:  # cache-fed pass, entry evicted
-                    raise _FastCacheMiss()
-                cached = decode_postings(
-                    row.docs, row.tfs, row.dls, int(row.df)
-                )
-                if base_key is not None:
-                    cache.put(base_key + (-1,), cached)
-            docs, tfs, dls = cached
-            terms.append({
-                "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
-                "poss_raw": row.poss,  # decoded lazily below
-                "key": base_key,
-                "w": idf[row.term],
-                "qoffs": qoffsets[row.term],
-            })
+        # decode + merge same-term rows across shards (one entry per
+        # term, globally sorted docs): the driver fast path feeds this
+        # fn the WHOLE matched pdf in one call on many-shard indexes
+        cache, entries = _decode_merged_terms(pdf, epoch, True)
+        terms = [
+            {"term": t, **e, "w": idf[t], "qoffs": qoffsets[t]}
+            for t, e in entries.items()
+        ]
         by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
         cand = terms[by_df[0]]["docs"]
         for ti in by_df[1:]:
@@ -779,10 +852,7 @@ def _make_phrase_scorer(
         # (_positions_for): repeats then skip the varint work entirely.
         for t in terms:
             sel = np.searchsorted(t["docs"], cand)
-            t["pos"], t["pstarts"] = _positions_for(
-                t["poss_raw"], t["tfs"], sel, t["key"], cache,
-                t["docs"].size,
-            )
+            t["pos"], t["pstarts"] = _entry_positions(t, sel, cache)
 
         # vectorized positional verification; anchor = fewest postings
         keep = _phrase_keep(
@@ -833,37 +903,10 @@ def _make_near_scorer(
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if len(pdf) == 0 or pdf["term"].nunique() < n_required:
             return empty
-        cache = None
-        if epoch is not None:
-            from indexer_spark.query import _DECODED_CACHE as cache
-        pdf = pdf.sort_values("term", kind="stable")
-        has_shard = "shard" in pdf.columns
-        terms = []
-        for row in pdf.itertuples():
-            shard_id = int(row.shard) if has_shard else -1
-            plen = (
-                len(row.docs) if row.docs is not None else int(row.plen)
-            )
-            base_key = (
-                (epoch, shard_id, row.term, int(row.df), plen)
-                if cache is not None else None
-            )
-            cached = cache.get(base_key + (-1,)) if base_key else None
-            if cached is None:
-                if row.docs is None:  # cache-fed pass, entry evicted
-                    raise _FastCacheMiss()
-                cached = decode_postings(
-                    row.docs, row.tfs, row.dls, int(row.df)
-                )
-                if base_key is not None:
-                    cache.put(base_key + (-1,), cached)
-            docs, tfs, dls = cached
-            terms.append({
-                "term": row.term, "docs": docs, "tfs": tfs, "dls": dls,
-                "poss_raw": row.poss,  # decoded lazily below
-                "key": base_key,
-                "w": idf[row.term],
-            })
+        cache, entries = _decode_merged_terms(pdf, epoch, True)
+        terms = [
+            {"term": t, **e, "w": idf[t]} for t, e in entries.items()
+        ]
         by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
         cand = terms[by_df[0]]["docs"]
         for ti in by_df[1:]:
@@ -889,10 +932,7 @@ def _make_near_scorer(
             max_pos = 0
             for t in terms:
                 sel = np.searchsorted(t["docs"], cand)
-                t["cpos"], pst = _positions_for(
-                    t["poss_raw"], t["tfs"], sel, t["key"], cache,
-                    t["docs"].size,
-                )
+                t["cpos"], pst = _entry_positions(t, sel, cache)
                 t["clbl"] = np.repeat(lbl_of, np.diff(pst))
                 if t["cpos"].size:
                     max_pos = max(max_pos, int(t["cpos"].max()))
@@ -945,36 +985,7 @@ def _make_bool_scorer(
         empty = pd.DataFrame({"doc_id": [], "score": []})
         if len(pdf) == 0:
             return empty
-        cache = None
-        if epoch is not None:
-            from indexer_spark.query import _DECODED_CACHE as cache
-        has_shard = "shard" in pdf.columns
-        data: dict[str, dict] = {}
-        for row in pdf.itertuples():
-            shard_id = int(row.shard) if has_shard else -1
-            plen = (
-                len(row.docs) if row.docs is not None else int(row.plen)
-            )
-            base_key = (
-                (epoch, shard_id, row.term, int(row.df), plen)
-                if cache is not None else None
-            )
-            cached = cache.get(base_key + (-1,)) if base_key else None
-            if cached is None:
-                if row.docs is None:  # cache-fed pass, entry evicted
-                    raise _FastCacheMiss()
-                cached = decode_postings(
-                    row.docs, row.tfs, row.dls, int(row.df)
-                )
-                if base_key is not None:
-                    cache.put(base_key + (-1,), cached)
-            docs, tfs, dls = cached
-            data[row.term] = {
-                "docs": docs, "tfs": tfs, "dls": dls,
-                "poss_raw": getattr(row, "poss", None) if positional
-                else None,
-                "key": base_key,
-            }
+        cache, data = _decode_merged_terms(pdf, epoch, positional)
         term_docs = {t: e["docs"] for t, e in data.items()}
         no_docs = np.empty(0, dtype=np.int64)
 
@@ -998,10 +1009,7 @@ def _make_bool_scorer(
             for t in ph.terms:
                 e = data[t]
                 sel = np.searchsorted(e["docs"], cand)
-                p_of[t] = _positions_for(
-                    e["poss_raw"], e["tfs"], sel, e["key"], cache,
-                    e["docs"].size,
-                )
+                p_of[t] = _entry_positions(e, sel, cache)
             qoff: dict[str, list[int]] = {}
             for t, o in ph.qoffsets:
                 qoff.setdefault(t, []).append(o)
@@ -2107,7 +2115,12 @@ class IndexReader:
             with ThreadPoolExecutor(_score_threads()) as ex:
                 outs = list(ex.map(scorer, groups))
         else:
-            outs = [scorer(g) for g in groups]
+            # many small groups: ONE merged whole-index evaluation —
+            # the scorers merge same-term rows across shards (globally
+            # sorted doc ranges), so a single pass replaces hundreds of
+            # per-group python fixed costs (measured 0.47 s serial loop
+            # over 306 groups at 20M turns; the merged pass removes it)
+            outs = [scorer(pdf)]
         outs = [o for o in outs if len(o)]
         if not outs:
             self.last_path = label
