@@ -1181,11 +1181,25 @@ def _make_pruned_scorer(
     return fn
 
 
+def _narrow_wire(a: np.ndarray) -> np.ndarray:
+    """Smallest unsigned dtype holding ``a`` losslessly (warm-broadcast
+    arrays are non-negative: cumsum'd doc ids, tfs, dls) — shrinks the
+    pickled wire bytes ~3-6x; _warm_install_entries widens back to the
+    int64 the decoders produce, so installed entries are value- AND
+    dtype-identical to a lazy decode_block_slice."""
+    m = int(a.max()) if a.size else 0
+    for dt in (np.uint8, np.uint16, np.uint32):
+        if m <= np.iinfo(dt).max:
+            return a.astype(dt)
+    return a
+
+
 def _warm_install_entries(payload, block_size: int,
                           budget_bytes: int) -> int:
-    """Worker-side half of IndexReader.warm_worker_caches: slice the
-    driver-decoded per-(shard, term) arrays at block boundaries (views,
-    no copies) and install them into THIS process's module-level
+    """Worker-side half of IndexReader.warm_worker_caches: widen each
+    wire-narrowed per-(shard, term) array back to int64 (one vectorized
+    astype; see _narrow_wire), slice at block boundaries (views, no
+    copies) and install them into THIS process's module-level
     _DECODED_CACHE, under the same keys the pruned distributed scorer
     looks up (ckey + block_idx). Runs inside a Spark task — the module
     instance here is the worker's own, so entries persist across tasks
@@ -1200,6 +1214,9 @@ def _warm_install_entries(payload, block_size: int,
         cache.max_bytes = budget_bytes + (64 << 20)
     warmed = 0
     for ckey, d, tf, dl in payload:
+        d = d.astype(np.int64, copy=False)
+        tf = tf.astype(np.int64, copy=False)
+        dl = dl.astype(np.int64, copy=False)
         n = d.size
         for bi in range((n + block_size - 1) // block_size):
             s = bi * block_size
@@ -1670,7 +1687,9 @@ class IndexReader:
                     ship = e
                 if ship:
                     payload.append((
-                        ckey, d_full[:ship], tf_full[:ship], dl_full[:ship]
+                        ckey, _narrow_wire(d_full[:ship]),
+                        _narrow_wire(tf_full[:ship]),
+                        _narrow_wire(dl_full[:ship]),
                     ))
                 if full:
                     break

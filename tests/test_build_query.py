@@ -519,6 +519,48 @@ def test_warm_worker_caches_identity(spark, built_index, oracle_index):
         reader.close()
 
 
+def test_warm_wire_narrowing_roundtrip():
+    """The warm broadcast's wire narrowing must be lossless and the
+    installer must restore the exact int64 arrays decode_block_slice
+    would produce — dtype included — at every dtype boundary."""
+    import numpy as np
+
+    from indexer_spark.query import (
+        _DECODED_CACHE, _narrow_wire, _warm_install_entries,
+    )
+
+    for hi, want_dt in [
+        (0, np.uint8), (255, np.uint8), (256, np.uint16),
+        (65_535, np.uint16), (65_536, np.uint32),
+        ((1 << 32) - 1, np.uint32), (1 << 32, np.int64),
+    ]:
+        a = np.array([0, 1, hi], dtype=np.int64)
+        w = _narrow_wire(a)
+        assert w.dtype == want_dt, (hi, w.dtype)
+        assert np.array_equal(w.astype(np.int64), a)
+    assert _narrow_wire(np.array([], dtype=np.int64)).dtype == np.uint8
+
+    d = np.arange(0, 300, dtype=np.int64) * 7  # spans two 128-blocks
+    tf = (d % 250) + 1
+    dl = d % 70_000 + 1
+    key = ("wire-test-epoch", 0, "t", d.size, 999)
+    payload = [(key, _narrow_wire(d), _narrow_wire(tf), _narrow_wire(dl))]
+    try:
+        n = _warm_install_entries(payload, 128, 1 << 20)
+        assert n == 3  # ceil(300/128) blocks
+        for bi in range(3):
+            got = _DECODED_CACHE.get(key + (bi,))
+            assert got is not None
+            s, e = bi * 128, min((bi + 1) * 128, d.size)
+            for g, want in zip(got, (d[s:e], tf[s:e], dl[s:e])):
+                assert g.dtype == np.int64
+                assert np.array_equal(g, want)
+    finally:
+        with _DECODED_CACHE._lock:
+            for bi in range(3):
+                _DECODED_CACHE._d.pop(key + (bi,), None)
+
+
 def test_parse_bytes():
     from indexer_spark.query import _parse_bytes
 
