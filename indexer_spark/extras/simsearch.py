@@ -58,6 +58,35 @@ def _assign_dists(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+def _rows_matrix(vs, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from a pandas Series of fixed-dim vector
+    rows via ONE C-level concatenate over the row buffers — replaces the
+    per-row Python `.map(np.asarray)` + np.stack. Ragged rows raise
+    (np.stack semantics): without the explicit length check a ragged
+    batch whose lengths happen to sum to n*dim would silently reshape
+    into wrong rows."""
+    arr = vs.to_numpy()
+    lens = np.fromiter((len(x) for x in arr), dtype=np.intp, count=len(arr))
+    if lens.size and not (lens == dim).all():
+        raise ValueError(
+            f"ragged vector column: row lengths {np.unique(lens)} != {dim}"
+        )
+    return np.concatenate(arr).astype(np.float64, copy=False).reshape(
+        len(arr), dim)
+
+
+def _list_col_matrix(col, n_rows: int, dim: int):
+    """(n_rows, dim) float64 matrix straight from an Arrow list column's
+    flattened value buffer (zero per-row work). Returns None when the
+    column has nulls or ragged lengths (flatten length would not be
+    n_rows * dim) — callers fall back to the row-wise path."""
+    flat = col.flatten()
+    if len(flat) != n_rows * dim or col.null_count:
+        return None
+    m = flat.to_numpy(zero_copy_only=False)
+    return m.astype(np.float64, copy=False).reshape(n_rows, dim)
+
+
 def _kmeans_fit_distributed(
     spark, vdf: DataFrame, n_centroids: int, iters: int, seed: int,
     id_col: str,
@@ -87,30 +116,42 @@ def _kmeans_fit_distributed(
         centb = sc.broadcast(cent)
 
         def partials(batches):
+            # mapInArrow: each record batch's list<double> column is ONE
+            # contiguous value buffer + offsets, so the (rows, dim)
+            # matrix is a flatten + reshape — no per-row Python work
+            # (the old mapInPandas path paid a .map(np.asarray) +
+            # np.stack per batch; guide §4.2)
+            import pyarrow as pa
+
             c = centb.value
             sums = np.zeros((k, dim), dtype=np.float64)
             cnts = np.zeros(k, dtype=np.int64)
             seen = False
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
                 seen = True
-                m = np.stack(pdf["v"].map(np.asarray).to_numpy()).astype(
-                    np.float64
-                )
+                col = rb.column(0)
+                m = _list_col_matrix(col, rb.num_rows, dim)
+                if m is None:  # nulls/ragged: row-wise fallback
+                    m = np.stack([
+                        np.asarray(x, dtype=np.float64)
+                        for x in col.to_pylist()
+                    ])
                 a = _assign_dists(m, c).argmin(axis=1)
                 np.add.at(sums, a, m)
                 np.add.at(cnts, a, 1)
             if not seen:
                 return
             nz = np.nonzero(cnts)[0]
-            yield pd.DataFrame({
-                "cid": nz.astype(np.int32),
-                "cnt": cnts[nz],
-                "vsum": [sums[i].tobytes() for i in nz],
+            yield pa.record_batch({
+                "cid": pa.array(nz.astype(np.int32), type=pa.int32()),
+                "cnt": pa.array(cnts[nz], type=pa.int64()),
+                "vsum": pa.array([sums[i].tobytes() for i in nz],
+                                 type=pa.binary()),
             })
 
-        rows = vdf.select("v").mapInPandas(
+        rows = vdf.select("v").mapInArrow(
             partials, "cid int, cnt long, vsum binary"
         ).collect()
         centb.destroy()
@@ -152,9 +193,11 @@ class IvfIndex:
         )
         centb = spark.sparkContext.broadcast(cent)
 
+        dim = cent.shape[1]
+
         @F.pandas_udf(IntegerType())
         def assign_udf(vs: pd.Series) -> pd.Series:
-            m = np.stack(vs.map(np.asarray).to_numpy()).astype(np.float64)
+            m = _rows_matrix(vs, dim)
             return pd.Series(
                 _assign_dists(m, centb.value).argmin(axis=1).astype(np.int32)
             )

@@ -167,6 +167,47 @@ def test_embedding_lsh_recall_and_bucket_cap(spark):
     assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def test_vector_matrix_helpers_match_rowwise():
+    """The vectorized (rows, dim) conversions behind the IVF fit must
+    reproduce the row-wise np.stack path exactly, and the Arrow helper
+    must refuse (None -> caller falls back) on nulls or ragged rows."""
+    import pyarrow as pa
+    import pandas as pd
+
+    from indexer_spark.extras.simsearch import (
+        _list_col_matrix, _rows_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [rng.standard_normal(16) for _ in range(100)]
+    want = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+
+    col = pa.array([r.tolist() for r in rows], type=pa.list_(pa.float64()))
+    got = _list_col_matrix(col, len(rows), 16)
+    assert got is not None and np.array_equal(got, want)
+    # sliced column (non-zero offset): flatten must respect the slice
+    got_tail = _list_col_matrix(col.slice(40), 60, 16)
+    assert got_tail is not None and np.array_equal(got_tail, want[40:])
+
+    assert np.array_equal(_rows_matrix(pd.Series(rows), 16), want)
+    # float32 rows widen losslessly to float64
+    got32 = _rows_matrix(pd.Series([r.astype(np.float32) for r in rows]), 16)
+    assert np.array_equal(
+        got32, np.stack([r.astype(np.float32) for r in rows]).astype(np.float64)
+    )
+
+    null_col = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))
+    assert _list_col_matrix(null_col, 2, 2) is None
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    assert _list_col_matrix(ragged, 2, 2) is None
+    # ragged pandas rows raise — even when lengths sum to n*dim, which a
+    # bare concatenate+reshape would silently mis-shape
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged"):
+        _rows_matrix(pd.Series([np.ones(3), np.zeros(5)]), 4)
+
+
 def test_brute_force_topk_matches_numpy(emb_df):
     pdf = emb_df.toPandas()
     mat = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
